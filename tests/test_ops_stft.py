@@ -1,0 +1,61 @@
+"""On-device ops vs host processing parity (jit-safe twins)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from avvad_tpu.processing import read_wav, stft, log_power_spectrogram
+from avvad_tpu.processing.audio_io import peak_normalize
+from avvad_tpu.processing.targets import clean_speech_VAD
+from avvad_tpu.ops.stft import (
+    frame_energy_vad,
+    log_power_frontend,
+    stft_frames,
+)
+
+
+def _wav(ref_subset):
+    import glob, os
+
+    path = sorted(
+        glob.glob(os.path.join(ref_subset, "processed/ntcd_timit/Clean/**/*.wav"),
+                  recursive=True)
+    )[0]
+    x, fs = read_wav(path)
+    return x, fs
+
+
+def test_stft_frames_matches_host(ref_subset):
+    x, fs = _wav(ref_subset)
+    x = peak_normalize(x)
+    ref = stft(x, fs=fs, hop_percent=0.25, center=False, pad_at_end=True)  # (F, T)
+    re, im = stft_frames(jnp.asarray(x), fs=fs, hop_percent=0.25)  # (T, F) each
+    re, im = np.asarray(re), np.asarray(im)
+    assert re.T.shape == ref.shape
+    # DFT-as-matmul in float32 vs float64 FFT: ~1e-3 absolute agreement
+    np.testing.assert_allclose(re.T, ref.real, atol=5e-3)
+    np.testing.assert_allclose(im.T, ref.imag, atol=5e-3)
+
+
+def test_log_power_frontend_matches_host(ref_subset):
+    x, fs = _wav(ref_subset)
+    ref = log_power_spectrogram(stft(peak_normalize(x), fs=fs))
+    dev = np.asarray(log_power_frontend(jnp.asarray(x), fs=fs))
+    # log(power + 1e-8) bounds the error of near-zero bins; float32
+    # DFT-by-matmul vs float64 FFT agrees to ~1% in the log domain.
+    np.testing.assert_allclose(dev.T, ref, rtol=1e-2, atol=2e-2)
+
+
+def test_log_power_frontend_batched(ref_subset):
+    x, fs = _wav(ref_subset)
+    xb = jnp.stack([jnp.asarray(x), jnp.asarray(x) * 0.5])
+    out = np.asarray(log_power_frontend(xb, fs=fs))
+    # peak normalization makes scale irrelevant
+    np.testing.assert_allclose(out[0], out[1], atol=1e-4)
+
+
+def test_frame_energy_vad_matches_host(ref_subset):
+    x, fs = _wav(ref_subset)
+    x = peak_normalize(x)
+    ref = clean_speech_VAD(x, fs=fs, hop_percent=0.25, center=False, pad_at_end=True)
+    dev = np.asarray(frame_energy_vad(jnp.asarray(x), fs=fs, hop_percent=0.25))
+    np.testing.assert_array_equal(dev[None], ref)
