@@ -1,0 +1,99 @@
+"""Padded, bucketed batch assembly.
+
+Replaces the reference's six collate functions
+(/root/reference/packages/utils.py:9-227) with one generic padder over
+time-major dicts, plus length bucketing: T is rounded up to a multiple of
+`bucket` so each bucket compiles one XLA program (static shapes, bounded
+retraces) instead of one program per distinct batch max-length.
+
+Batch layouts (time-major, mask explicit):
+  audio   (B, T, 513)    video (B, T, 67, 67)    label (B, T, y_dim)
+  lengths (B,) int32     mask  (B, T) float32 (1 on valid frames)
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import numpy as np
+
+
+class Batch(NamedTuple):
+    """A padded batch. Unused modalities are None."""
+
+    audio: Optional[np.ndarray]
+    video: Optional[np.ndarray]
+    label: Optional[np.ndarray]
+    lengths: np.ndarray
+    mask: np.ndarray
+    waveform: Optional[np.ndarray] = None
+    time_lengths: Optional[np.ndarray] = None
+
+    @property
+    def batch_size(self) -> int:
+        return int(self.lengths.shape[0])
+
+    @property
+    def max_frames(self) -> int:
+        return int(self.mask.shape[1])
+
+
+def bucket_length(t: int, bucket: Optional[int]) -> int:
+    """Round t up to a multiple of `bucket` (identity if bucket is falsy)."""
+    if not bucket:
+        return t
+    return ((t + bucket - 1) // bucket) * bucket
+
+
+def _pad_time(arrs: list[np.ndarray], t_pad: int) -> np.ndarray:
+    out = np.zeros((len(arrs), t_pad) + arrs[0].shape[1:], dtype=np.float32)
+    for i, a in enumerate(arrs):
+        out[i, : a.shape[0]] = a
+    return out
+
+
+def pad_batch(items: list[dict], bucket: Optional[int] = None,
+              pad_batch_to: Optional[int] = None) -> Batch:
+    """Zero-pad a list of utterance dicts into a Batch.
+
+    `bucket` buckets the time dimension; `pad_batch_to` pads the batch
+    dimension with repeated last items masked to length 0 (for fixed-B jit
+    programs on the final partial batch).
+    """
+    lengths = np.asarray([it["length"] for it in items], dtype=np.int32)
+    n_real = len(items)
+    if pad_batch_to and len(items) < pad_batch_to:
+        items = items + [items[-1]] * (pad_batch_to - len(items))
+        lengths = np.concatenate(
+            [lengths, np.zeros(pad_batch_to - n_real, dtype=np.int32)]
+        )
+
+    t_pad = bucket_length(max(it["length"] for it in items), bucket)
+
+    def maybe(key):
+        if key not in items[0]:
+            return None
+        return _pad_time(
+            [np.asarray(it[key], dtype=np.float32)[: it["length"]] for it in items],
+            t_pad,
+        )
+
+    audio = maybe("audio")
+    video = maybe("video")
+    label = maybe("label")
+
+    waveform = None
+    time_lengths = None
+    if "waveform" in items[0]:
+        time_lengths = np.asarray([it["time_length"] for it in items], dtype=np.int32)
+        # mask out padded batch rows
+        if pad_batch_to and n_real < len(items):
+            time_lengths[n_real:] = 0
+        wt = int(max(it["time_length"] for it in items))
+        waveform = np.zeros((len(items), wt), dtype=np.float32)
+        for i, it in enumerate(items):
+            waveform[i, : it["time_length"]] = it["waveform"]
+
+    mask = (np.arange(t_pad)[None, :] < lengths[:, None]).astype(np.float32)
+    return Batch(audio=audio, video=video, label=label, lengths=lengths,
+                 mask=mask, waveform=waveform, time_lengths=time_lengths)

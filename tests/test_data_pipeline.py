@@ -1,0 +1,122 @@
+"""Input-pipeline tests over the reference subset fixture."""
+
+import os
+
+import numpy as np
+import pytest
+
+from avvad_tpu.data import (
+    AudioSequenceSource,
+    AudioVisualSource,
+    DataLoader,
+    VideoSequenceSource,
+    load_statistics,
+    pad_batch,
+    save_statistics,
+    welford_merge,
+)
+
+
+@pytest.fixture(scope="module")
+def root(ref_subset):
+    return os.path.join(ref_subset, "processed/")
+
+
+def test_audio_source(root):
+    src = AudioSequenceSource(root, "train", "subset", "vad_labels", upsampled=False)
+    assert len(src) == 3
+    item = src[0]
+    assert item["audio"].shape[1] == 513
+    assert item["label"].shape[1] == 1
+    assert item["audio"].shape[0] == item["label"].shape[0] == item["length"]
+    assert item["noise_type"] == "Babble" and item["snr_db"] == "-5"
+
+
+def test_av_source_alignment(root):
+    src = AudioVisualSource(root, "train", "subset", "vad_labels", upsampled=False,
+                            video_variant="upsampled")
+    assert len(src) == 3
+    item = src[0]
+    t = item["length"]
+    assert item["audio"].shape == (t, 513)
+    assert item["video"].shape == (t, 67, 67)
+    assert item["label"].shape == (t, 1)
+
+
+def test_video_source(root):
+    src = VideoSequenceSource(root, "validation", "vad_labels", upsampled=True)
+    assert len(src) == 3
+    item = src[0]
+    assert item["video"].shape[1:] == (67, 67)
+    assert item["video"].shape[0] == item["label"].shape[0]
+
+
+def test_pad_batch_masking(root):
+    src = AudioVisualSource(root, "train", "subset", "vad_labels", upsampled=False,
+                            video_variant="upsampled")
+    items = [src[i] for i in range(3)]
+    batch = pad_batch(items, bucket=128)
+    assert batch.audio.shape[0] == 3
+    assert batch.audio.shape[1] % 128 == 0
+    assert batch.mask.shape == batch.audio.shape[:2]
+    # mask matches lengths; padded region is zero
+    for i, it in enumerate(items):
+        assert batch.mask[i].sum() == it["length"]
+        assert (batch.audio[i, it["length"]:] == 0).all()
+        assert (batch.video[i, it["length"]:] == 0).all()
+
+
+def test_pad_batch_to_full(root):
+    src = AudioSequenceSource(root, "train", "subset", "vad_labels", upsampled=False)
+    batch = pad_batch([src[0]], bucket=64, pad_batch_to=4)
+    assert batch.audio.shape[0] == 4
+    assert batch.lengths[0] > 0 and (batch.lengths[1:] == 0).all()
+    assert batch.mask[1:].sum() == 0
+
+
+def test_dataloader_epoch(root):
+    src = AudioVisualSource(root, "train", "subset", "vad_labels", upsampled=False,
+                            video_variant="upsampled")
+    dl = DataLoader(src, batch_size=2, shuffle=True, seed=3, bucket=64)
+    batches = list(dl)
+    assert len(batches) == 2
+    assert sum(b.batch_size for b in batches) == 3
+    # deterministic order per (seed, epoch)
+    dl2 = DataLoader(src, batch_size=2, shuffle=True, seed=3, bucket=64)
+    b2 = list(dl2)
+    np.testing.assert_array_equal(batches[0].lengths, b2[0].lengths)
+
+
+def test_statistics_roundtrip_and_format(tmp_path, root, ref_subset):
+    # matches the reference statistics.h5 layout
+    import h5py
+
+    mean, std = welford_merge(
+        [(10, np.full(513, 5.0), np.full(513, 30.0)),
+         (5, np.full(513, 2.0), np.full(513, 10.0))]
+    )
+    p = str(tmp_path / "stats.h5")
+    save_statistics(p, mean, std)
+    m2, s2 = load_statistics(p)
+    assert m2.shape == (513, 1) and s2.shape == (513, 1)
+    np.testing.assert_allclose(m2[:, 0], mean, rtol=1e-6)
+
+    ref_stats = os.path.join(
+        root, "ntcd_timit/Noisy/ntcd_timit_power_spec_statistics.h5"
+    )
+    m_ref, s_ref = load_statistics(ref_stats)
+    assert m_ref.shape == (513, 1) and s_ref.shape == (513, 1)
+
+
+def test_prefetcher(root):
+    import jax
+
+    from avvad_tpu.data import Prefetcher
+
+    src = AudioSequenceSource(root, "train", "subset", "vad_labels", upsampled=False)
+    dl = DataLoader(src, batch_size=2, bucket=64)
+    seen = 0
+    for batch in Prefetcher(dl, depth=1):
+        assert isinstance(batch.audio, jax.Array)
+        seen += batch.batch_size
+    assert seen == 3
