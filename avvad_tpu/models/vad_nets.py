@@ -1,0 +1,127 @@
+"""The three VAD model families (Flax linen).
+
+Capability parity with the reference heads, TPU layouts throughout:
+- AudioVAD: (B,T,513) log-power frames -> 2xLSTM(1024) -> Dense(y_dim)
+  logits per frame (sigmoid applied by callers), mirroring DeepVAD_audio
+  (/root/reference/packages/models/Audio_Net.py:11-60).
+- VideoVAD: (B,T,67,67) lip crops -> 3-channel repeat -> ResNet-18 over the
+  flattened (B*T) frame batch -> (B,T,512) -> 2xLSTM(1024) -> Dense, with
+  the `return_last` last-valid-step mode, mirroring DeepVAD_video
+  (/root/reference/packages/models/Video_Net.py:12-117).
+- AVVAD: video tower ("features" trunk, freezable) + audio passthrough,
+  fused by concat (1025-d) or MCB(513,512->1024)+signed-sqrt+global-L2+
+  BatchNorm, -> 2xLSTM(1024) -> Dense, mirroring DeepVAD_AV
+  (/root/reference/packages/models/AV_Net.py:12-141).
+
+Note the BatchNorm after MCB normalizes each channel over ALL (batch x
+time) positions including padded frames — the reference's permute->
+BatchNorm1d composition does exactly that (AV_Net.py:119-121); replicated
+here for parity rather than corrected.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .lstm import LSTMStack, select_last
+from .mcb import CompactBilinearPooling, global_l2_normalize, signed_sqrt
+from .resnet import ResNet18
+
+
+class AudioVAD(nn.Module):
+    y_dim: int = 1
+    lstm_hidden_size: int = 1024
+    lstm_layers: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, audio: jax.Array, lengths: Optional[jax.Array] = None,
+                 train: bool = False) -> jax.Array:
+        x = LSTMStack(self.lstm_hidden_size, self.lstm_layers, dtype=self.dtype,
+                      name="lstm_audio")(audio)
+        return nn.Dense(self.y_dim, name="vad_audio")(x)
+
+
+class _VideoTower(nn.Module):
+    """Grayscale (B,T,H,W) -> (B,T,512) ResNet features.
+
+    The frame batch is flattened to (B*T, H, W, 3) so the convs see one
+    large MXU-friendly batch (the hot loop of the whole framework)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, video: jax.Array, train: bool = False) -> jax.Array:
+        b, t, h, w = video.shape
+        frames = video.reshape(b * t, h, w, 1)
+        frames = jnp.repeat(frames, 3, axis=-1)  # replicate to RGB
+        feats = ResNet18(dtype=self.dtype, name="features")(frames, train=train)
+        return feats.reshape(b, t, -1)
+
+
+class VideoVAD(nn.Module):
+    y_dim: int = 1
+    lstm_hidden_size: int = 1024
+    lstm_layers: int = 2
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, video: jax.Array, lengths: Optional[jax.Array] = None,
+                 train: bool = False, return_last: bool = False) -> jax.Array:
+        x = _VideoTower(dtype=self.dtype, name="tower")(video, train=train)
+        x = LSTMStack(self.lstm_hidden_size, self.lstm_layers, dtype=self.dtype,
+                      name="lstm_video")(x)
+        if return_last:
+            if lengths is None:
+                raise ValueError("return_last requires lengths")
+            x = select_last(x, lengths)
+        return nn.Dense(self.y_dim, name="vad_video")(x)
+
+
+class AVVAD(nn.Module):
+    """Flagship audio-visual model."""
+
+    y_dim: int = 1
+    lstm_hidden_size: int = 1024
+    lstm_layers: int = 2
+    use_mcb: bool = True
+    mcb_output_size: int = 1024
+    num_audio_features: int = 513
+    num_video_features: int = 512
+    eps: float = 1e-8
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, audio: jax.Array, video: jax.Array,
+                 lengths: Optional[jax.Array] = None,
+                 train: bool = False) -> jax.Array:
+        v = _VideoTower(dtype=self.dtype, name="tower")(video, train=train)
+
+        if self.use_mcb:
+            y = CompactBilinearPooling(
+                self.num_audio_features, self.num_video_features,
+                self.mcb_output_size, name="mcb",
+            )(audio, v)
+            y = signed_sqrt(y, self.eps)
+            y = global_l2_normalize(y)
+            # BatchNorm over every (batch, time) position per channel
+            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=self.eps, axis=-1, name="mcb_bn")(y)
+        else:
+            y = jnp.concatenate([audio, v], axis=-1)
+
+        y = LSTMStack(self.lstm_hidden_size, self.lstm_layers, dtype=self.dtype,
+                      name="lstm_merged")(y)
+        return nn.Dense(self.y_dim, name="vad_merged")(y)
+
+
+def video_trunk_filter(path: tuple, _value) -> bool:
+    """Trainability filter: False for the frozen ResNet trunk params.
+
+    The reference freezes every parameter under the 'features' module after
+    loading the pretrained video net (train_AV_net.py:241-245)."""
+    return "features" not in path
