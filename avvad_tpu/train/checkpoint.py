@@ -1,0 +1,121 @@
+"""Orbax checkpointing: params + optimizer state + normalization stats.
+
+Strict superset of the reference's save-only torch.save of model weights
+(/root/reference/scripts/train_AV_net.py:441-448, which never saved the
+optimizer and re-read normalization stats from dataset h5 at eval).
+Directory names keep the reference's epoch/vloss convention so runs are
+comparable at a glance.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def checkpoint_name(epoch: int, valid_loss: float) -> str:
+    return f"epoch_{epoch:03d}_vloss_{valid_loss:.2f}"
+
+
+_CKPT_RE = re.compile(r"epoch_(\d+)_vloss_([-\d.]+)$")
+
+
+def save_checkpoint(model_dir: str, state, norm_stats: Optional[dict] = None,
+                    epoch: int = 0, valid_loss: float = 0.0) -> str:
+    """Save a full training checkpoint; returns the checkpoint path."""
+    path = os.path.abspath(os.path.join(model_dir, checkpoint_name(epoch, valid_loss)))
+    payload = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    if state.batch_stats is not None:
+        payload["batch_stats"] = state.batch_stats
+    if state.sketch is not None:
+        payload["sketch"] = state.sketch
+    if norm_stats:
+        payload["norm_stats"] = {k: np.asarray(v) for k, v in norm_stats.items()
+                                 if v is not None}
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, payload, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def latest_checkpoint(model_dir: str) -> Optional[str]:
+    """Newest checkpoint dir by epoch number (resume support the reference
+    lacked — its start_epoch constant never reloaded weights)."""
+    if not os.path.isdir(model_dir):
+        return None
+    best = None
+    for name in os.listdir(model_dir):
+        m = _CKPT_RE.match(name)
+        if m:
+            epoch = int(m.group(1))
+            if best is None or epoch > best[0]:
+                best = (epoch, os.path.join(model_dir, name))
+    return best[1] if best else None
+
+
+def restore_checkpoint(path: str, state, with_opt: bool = True):
+    """Restore into an existing TrainState (template for tree structure).
+
+    Returns (state, norm_stats, epoch)."""
+    template = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    if state.batch_stats is not None:
+        template["batch_stats"] = state.batch_stats
+    if state.sketch is not None:
+        template["sketch"] = state.sketch
+
+    ckptr = ocp.StandardCheckpointer()
+    # restore norm_stats loosely: read metadata first
+    meta = ckptr.metadata(path)
+    has_norm = "norm_stats" in meta.item_metadata if hasattr(meta, "item_metadata") else True
+    try:
+        payload = ckptr.restore(path, target=None)
+    except Exception:
+        payload = ckptr.restore(path, target=template)
+
+    state = state.replace(
+        params=payload["params"],
+        batch_stats=payload.get("batch_stats", state.batch_stats),
+        sketch=payload.get("sketch", state.sketch),
+        step=payload.get("step", state.step),
+    )
+    if with_opt and "opt_state" in payload:
+        restored_opt = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(state.opt_state),
+            jax.tree_util.tree_leaves(payload["opt_state"]),
+        )
+        state = state.replace(opt_state=restored_opt)
+
+    norm_stats = payload.get("norm_stats")
+    m = _CKPT_RE.match(os.path.basename(path))
+    epoch = int(m.group(1)) if m else 0
+    return state, norm_stats, epoch
+
+
+def load_pretrained_trunk(path: str, params, trunk_key: str = "tower"):
+    """Copy the video trunk ('features' subtree) from a VideoVAD checkpoint
+    into another model's params — the reference's transfer-learning step
+    (train_AV_net.py:176-187 keeps only 'features.*' keys)."""
+    ckptr = ocp.StandardCheckpointer()
+    payload = ckptr.restore(path, target=None)
+    src = payload["params"]
+    # locate the trunk subtree in source and destination
+    src_trunk = src[trunk_key]["features"] if trunk_key in src else src["features"]
+    params = dict(params)
+    dst_parent = dict(params[trunk_key]) if trunk_key in params else params
+    dst_parent["features"] = src_trunk
+    if trunk_key in params:
+        params[trunk_key] = dst_parent
+    return params

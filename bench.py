@@ -1,0 +1,82 @@
+"""Headline benchmark: AV-VAD inference throughput per chip.
+
+Measures the full on-device serving pipeline — raw waveform -> fused
+log-power STFT frontend -> AVVAD (ResNet-18 video tower + MCB fusion +
+2x1024 LSTM) -> frame probabilities — and reports the real-time factor
+(audio-seconds classified per wall-clock second on one chip).
+
+Baseline (BASELINE.md): the reference publishes no numbers; the target is
+>= 50x real time per chip, so `vs_baseline` = rt_factor / 50.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from avvad_tpu.models import AVVAD
+    from avvad_tpu.ops.stft import log_power_frontend
+
+    fs = 16000
+    hop = 256
+    frame_rate = fs / hop  # 62.5
+
+    # Batch of 8 utterances x ~8.2 s: 65.5 audio-seconds per step.
+    b, t = 8, 512
+    n_samples = hop * (t - 1) + 1024  # exactly t STFT frames, no end pad
+
+    model = AVVAD(y_dim=1, lstm_hidden_size=1024, lstm_layers=2, use_mcb=True)
+    rng = jax.random.PRNGKey(0)
+    audio_wave = jax.random.normal(rng, (b, n_samples), dtype=jnp.float32)
+    video = jax.random.normal(jax.random.PRNGKey(1), (b, t, 67, 67),
+                              dtype=jnp.float32)
+    init_audio = jnp.zeros((b, t, 513), dtype=jnp.float32)
+    variables = model.init(jax.random.PRNGKey(2), init_audio, video)
+
+    @jax.jit
+    def serve(wave, video):
+        feats = log_power_frontend(wave, fs=fs, wlen_sec=64e-3,
+                                   hop_percent=0.25, center=False,
+                                   pad_at_end=True)
+        feats = feats[:, :t, :]
+        return jax.nn.sigmoid(model.apply(variables, feats, video, train=False))
+
+    # Warm up / compile
+    out = serve(audio_wave, video)
+    jax.block_until_ready(out)
+
+    # Timed steady state
+    n_iters = 10
+    times = []
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        out = serve(audio_wave, video)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+
+    step_time = float(np.median(times))
+    audio_seconds = b * t / frame_rate
+    rt_factor = audio_seconds / step_time
+
+    print(json.dumps({
+        "metric": "av_vad_inference_rt_factor",
+        "value": round(rt_factor, 2),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(rt_factor / 50.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
