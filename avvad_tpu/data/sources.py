@@ -81,6 +81,13 @@ class _PairSource:
     def __len__(self):
         return len(self.pairs)
 
+    def rel_path(self, i: int) -> str:
+        """Catalog-relative path identifying utterance i (for writers)."""
+        return self.pairs[i][0]
+
+    def label_rel_path(self, i: int) -> str:
+        return self.pairs[i][1]
+
     def metadata(self, i: int) -> dict:
         return parse_utt_metadata(self.pairs[i][0])
 
@@ -164,6 +171,12 @@ class VideoSequenceSource:
 
     def __len__(self):
         return len(self.video_paths)
+
+    def rel_path(self, i: int) -> str:
+        return self.video_paths[i]
+
+    def label_rel_path(self, i: int) -> str:
+        return self.label_paths[i]
 
     def __getitem__(self, i: int) -> dict:
         video = load_video(self.root + self.video_paths[i])

@@ -1,0 +1,71 @@
+"""Per-utterance classification scoring.
+
+The reference's run_metrics_dnn_classif.py:102-170 loads each utterance's
+target h5 and saved predictions, computes frame-level
+accuracy/precision/recall/F1, parses SNR/noise/speaker from the path, and
+aggregates with compute_stats (:359-367). Same flow here over the .npy
+prediction files, as plain functions (no process pool needed — this is
+numpy-light)."""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from ..data.records import load_label
+from ..data.sources import parse_utt_metadata
+from ..models.losses import f1_metrics
+from .predict import prediction_paths
+from .stats import compute_stats
+
+METRIC_KEYS = ("accuracy", "precision", "recall", "f1")
+
+
+def compute_metrics_utt(processed_dir: str, classif_data_dir: str,
+                        proc_noisy_rel: str, label_rel: str) -> dict:
+    """Score one utterance's saved hard predictions against its target."""
+    import jax.numpy as jnp
+
+    y = load_label(os.path.join(processed_dir, label_rel))  # (T, y)
+    hard_path, soft_path = prediction_paths(classif_data_dir, proc_noisy_rel)
+    y_hat_hard = np.load(hard_path)
+    y_hat_soft = np.load(soft_path)
+    if y_hat_hard.ndim == 2 and y_hat_hard.shape[0] == y.shape[1]:
+        y_hat_hard = y_hat_hard.T  # feature-major on disk -> time-major
+        y_hat_soft = y_hat_soft.T
+    t = min(len(y), len(y_hat_hard))
+    acc, prec, rec, f1 = (
+        float(v) for v in f1_metrics(
+            jnp.asarray(y_hat_hard[:t].reshape(t, -1).astype(np.float32)),
+            jnp.asarray(y[:t].reshape(t, -1)),
+        )
+    )
+    meta = parse_utt_metadata(proc_noisy_rel)
+    return {"accuracy": acc, "precision": prec, "recall": rec, "f1": f1,
+            "y_hat_soft": y_hat_soft[:t], **meta}
+
+
+def score_split(source, processed_dir: str, classif_data_dir: str,
+                confidence: float = 0.95, save_stats: bool = True,
+                verbose: bool = True) -> dict:
+    """Score every utterance of a source and aggregate grouped stats."""
+    rows, snrs, noises, speakers = [], [], [], []
+    for i in range(len(source)):
+        m = compute_metrics_utt(processed_dir, classif_data_dir,
+                                source.rel_path(i), source.label_rel_path(i))
+        rows.append([m[k] for k in METRIC_KEYS])
+        snrs.append(float(m["snr_db"]))
+        noises.append(m["noise_type"])
+        speakers.append(m["speaker"])
+
+    return compute_stats(
+        METRIC_KEYS, rows,
+        model_data_dir=classif_data_dir if save_stats else None,
+        confidence=confidence,
+        all_snr_db=np.asarray(snrs),
+        all_noise_types=noises,
+        all_speakers=speakers,
+        verbose=verbose,
+    )

@@ -1,0 +1,98 @@
+"""Prediction writers: run a trained model over a split, save per-utterance
+hard/soft frame predictions.
+
+The reference fans batch-1 inference out over a spawn pool of GPUs
+(/root/reference/scripts/evaluate_AV_net.py:252-339) and torch.saves
+`<utt>_y_hat_{hard,soft}.pt` under `data/<size>/models/<classif_name>/`
+(:239-250). TPU-first redesign: utterances are length-bucketed into padded
+batches and classified by one jitted predict step (one XLA program per
+bucket) — no process pool, no per-utterance launches; the utterance axis
+shards over the mesh `data` dimension when more chips are available.
+Outputs are `.npy` with the same naming scheme and directory layout.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from ..data import DataLoader
+from ..train.steps import make_predict_step
+
+
+def prediction_paths(classif_data_dir: str, proc_noisy_rel_path: str):
+    """-> (hard_path, soft_path) for one utterance, reference layout."""
+    stem = os.path.splitext(os.path.join(classif_data_dir, proc_noisy_rel_path))[0]
+    return stem + "_y_hat_hard.npy", stem + "_y_hat_soft.npy"
+
+
+def write_predictions(classif_data_dir: str, proc_noisy_rel_path: str,
+                      y_hat_soft: np.ndarray) -> None:
+    """Save hard/soft predictions for one utterance; (T,) or (T, y)."""
+    hard_path, soft_path = prediction_paths(classif_data_dir, proc_noisy_rel_path)
+    os.makedirs(os.path.dirname(hard_path), exist_ok=True)
+    y_hat_hard = (y_hat_soft > 0.5).astype(np.int32)
+    np.save(hard_path, y_hat_hard)
+    np.save(soft_path, y_hat_soft)
+
+
+def evaluate_split(
+    state,
+    source,
+    modality: str,
+    classif_data_dir: str,
+    norm_stats: Optional[dict] = None,
+    batch_size: int = 8,
+    bucket: int = 128,
+    eps: float = 1e-8,
+    verbose: bool = True,
+) -> dict:
+    """Classify every utterance of `source`, write predictions, return a
+    wall-clock report (the reference's perf_counter harness,
+    evaluate_AV_net.py:336-342)."""
+    predict = make_predict_step(modality, eps)
+    loader = DataLoader(source, batch_size=batch_size, shuffle=False,
+                        bucket=bucket, pad_batch_to_full=True,
+                        sort_pool_factor=0)
+
+    t0 = time.perf_counter()
+    n_utts = 0
+    n_frames = 0
+    item_idx = 0
+    order = []
+    for b in loader._batch_indices():
+        order.extend(int(i) for i in b)
+    it = iter(order)
+
+    for batch in loader:
+        y_soft = np.asarray(predict(state, batch, norm_stats))  # (B, T, y)
+        for row in range(batch.batch_size):
+            length = int(batch.lengths[row])
+            if length == 0:
+                continue  # padded batch row
+            src_i = next(it)
+            noisy_rel = source.rel_path(src_i)
+            pred = y_soft[row, :length]
+            if pred.shape[-1] == 1:
+                pred = pred[..., 0]
+            else:
+                pred = pred.T  # (y, T): reference feature-major layout
+            write_predictions(classif_data_dir, noisy_rel, pred)
+            n_utts += 1
+            n_frames += length
+
+    elapsed = time.perf_counter() - t0
+    report = {
+        "n_utterances": n_utts,
+        "n_frames": n_frames,
+        "elapsed_s": elapsed,
+        "audio_seconds": n_frames / 62.5,
+        "rt_factor": (n_frames / 62.5) / elapsed if elapsed > 0 else float("inf"),
+    }
+    if verbose:
+        print(f"evaluate_split: {n_utts} utts, {n_frames} frames in "
+              f"{elapsed:.2f}s ({report['rt_factor']:.1f}x real time)")
+    return report

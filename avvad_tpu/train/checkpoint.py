@@ -76,10 +76,8 @@ def restore_checkpoint(path: str, state, with_opt: bool = True):
     if state.sketch is not None:
         template["sketch"] = state.sketch
 
+    path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    # restore norm_stats loosely: read metadata first
-    meta = ckptr.metadata(path)
-    has_norm = "norm_stats" in meta.item_metadata if hasattr(meta, "item_metadata") else True
     try:
         payload = ckptr.restore(path, target=None)
     except Exception:

@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Evaluate a trained VAD model over a split: write per-utterance hard/soft
+frame predictions (+ wall-clock throughput report).
+
+CLI covering the reference's evaluate_{audio,video,AV}_net.py scripts
+(batch-1 spawn pools there; bucketed batched jit inference here).
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--modality", choices=["audio", "video", "av"], required=True)
+    p.add_argument("--data-root", default="data")
+    p.add_argument("--dataset-size", choices=["subset", "complete"], default="subset")
+    p.add_argument("--labels", default="vad_labels",
+                   choices=["vad_labels", "ibm_labels"])
+    p.add_argument("--upsampled", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--video-variant", default="auto",
+                   choices=["auto", "upsampled", "normvideo", "plain"])
+    p.add_argument("--split", default="test")
+    p.add_argument("--checkpoint", required=True, help="checkpoint dir (Orbax)")
+    p.add_argument("--output-dir", required=True,
+                   help="where predictions land (classif_data_dir)")
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--bucket", type=int, default=128)
+    p.add_argument("--lstm-hidden", type=int, default=1024)
+    p.add_argument("--lstm-layers", type=int, default=2)
+    p.add_argument("--mcb", action=argparse.BooleanOptionalAction, default=True)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from avvad_tpu.config import LabelConfig
+    from avvad_tpu.data import (AudioSequenceSource, AudioVisualSource,
+                                VideoSequenceSource)
+    from avvad_tpu.evaluate import evaluate_split
+    from avvad_tpu.models import AVVAD, AudioVAD, VideoVAD
+    from avvad_tpu.train import create_train_state, restore_checkpoint
+
+    processed = os.path.join(args.data_root, args.dataset_size, "processed/")
+    y_dim = LabelConfig(kind=args.labels).y_dim
+
+    if args.modality == "audio":
+        source = AudioSequenceSource(processed, args.split, args.dataset_size,
+                                     args.labels, upsampled=args.upsampled)
+        model = AudioVAD(y_dim=y_dim, lstm_hidden_size=args.lstm_hidden,
+                         lstm_layers=args.lstm_layers)
+        example = (jnp.zeros((1, 8, 513)),)
+    elif args.modality == "video":
+        source = VideoSequenceSource(processed, args.split, args.labels,
+                                     upsampled=args.upsampled)
+        model = VideoVAD(y_dim=y_dim, lstm_hidden_size=args.lstm_hidden,
+                         lstm_layers=args.lstm_layers)
+        example = (jnp.zeros((1, 4, 67, 67)),)
+    else:
+        source = AudioVisualSource(processed, args.split, args.dataset_size,
+                                   args.labels, upsampled=args.upsampled,
+                                   video_variant=args.video_variant)
+        model = AVVAD(y_dim=y_dim, lstm_hidden_size=args.lstm_hidden,
+                      lstm_layers=args.lstm_layers, use_mcb=args.mcb)
+        example = (jnp.zeros((1, 4, 513)), jnp.zeros((1, 4, 67, 67)))
+
+    print(f"{args.split} utterances: {len(source)}")
+    state = create_train_state(model, jax.random.PRNGKey(0), example)
+    state, norm_stats, epoch = restore_checkpoint(args.checkpoint, state,
+                                                  with_opt=False)
+    print(f"restored checkpoint epoch {epoch}; norm stats: "
+          f"{sorted(norm_stats) if norm_stats else None}")
+
+    report = evaluate_split(state, source, args.modality,
+                            args.output_dir + os.sep, norm_stats=norm_stats,
+                            batch_size=args.batch_size, bucket=args.bucket)
+    print(report)
+
+
+if __name__ == "__main__":
+    main()

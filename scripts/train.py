@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Train a VAD model (audio / video / av).
+
+CLI covering the reference's three edit-the-constants training scripts
+(/root/reference/scripts/train_{audio,video,AV}_net.py) with real flags.
+Canonical reference configuration is the default: batch 16, Adam 1e-4,
+2x1024 LSTM, MCB fusion, dataset-level std normalization, frozen
+pretrained video trunk for AV.
+
+Example (subset smoke run):
+  python scripts/train.py --modality audio --data-root data --dataset-size subset \
+      --epochs 3 --batch-size 3 --lstm-hidden 64 --model-dir runs/audio_subset
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__,
+                                formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--modality", choices=["audio", "video", "av"], required=True)
+    p.add_argument("--data-root", default="data")
+    p.add_argument("--dataset-size", choices=["subset", "complete"], default="subset")
+    p.add_argument("--labels", choices=["vad_labels", "ibm_labels"],
+                   default="vad_labels")
+    p.add_argument("--upsampled", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--video-variant", default="auto",
+                   choices=["auto", "upsampled", "normvideo", "plain"])
+    p.add_argument("--model-dir", required=True)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--start-epoch", type=int, default=1)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lstm-hidden", type=int, default=1024)
+    p.add_argument("--lstm-layers", type=int, default=2)
+    p.add_argument("--mcb", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--std-norm", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--bucket", type=int, default=128)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--pretrained-video", default=None,
+                   help="VideoVAD checkpoint dir to load + freeze the trunk from")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in --model-dir")
+    p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from avvad_tpu.config import LabelConfig
+    from avvad_tpu.data import (AudioSequenceSource, AudioVisualSource,
+                                DataLoader, VideoSequenceSource,
+                                load_statistics)
+    from avvad_tpu.models import AVVAD, AudioVAD, VideoVAD
+    from avvad_tpu.train import Trainer, create_train_state
+    from avvad_tpu.train.checkpoint import (latest_checkpoint,
+                                            load_pretrained_trunk,
+                                            restore_checkpoint)
+    from avvad_tpu.train.state import (make_optimizer,
+                                       trainable_except_video_trunk)
+
+    processed = os.path.join(args.data_root, args.dataset_size, "processed/")
+    y_dim = LabelConfig(kind=args.labels).y_dim
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+
+    def make_source(split):
+        if args.modality == "audio":
+            return AudioSequenceSource(processed, split, args.dataset_size,
+                                       args.labels, upsampled=args.upsampled)
+        if args.modality == "video":
+            return VideoSequenceSource(processed, split, args.labels,
+                                       upsampled=args.upsampled)
+        return AudioVisualSource(processed, split, args.dataset_size,
+                                 args.labels, upsampled=args.upsampled,
+                                 video_variant=args.video_variant)
+
+    train_src, valid_src = make_source("train"), make_source("validation")
+    print(f"train utterances: {len(train_src)}, valid: {len(valid_src)}")
+    train_dl = DataLoader(train_src, args.batch_size, shuffle=True,
+                          seed=args.seed, bucket=args.bucket, sort_pool_factor=4)
+    valid_dl = DataLoader(valid_src, args.batch_size, shuffle=False,
+                          bucket=args.bucket)
+
+    # normalization statistics (reference layout, train_AV_net.py:118-126)
+    norm_stats = None
+    if args.std_norm:
+        norm_stats = {}
+        audio_stats = os.path.join(
+            processed, "ntcd_timit/Noisy",
+            "ntcd_timit_log_power_spec_upsampled_statistics.h5")
+        video_stats = os.path.join(
+            processed, "ntcd_timit/matlab_raw",
+            "ntcd_timit_upsampled_statistics.h5")
+        if args.modality in ("audio", "av") and os.path.exists(audio_stats):
+            m, s = load_statistics(audio_stats)
+            norm_stats["audio_mean"], norm_stats["audio_std"] = m, s
+        if args.modality in ("video", "av") and os.path.exists(video_stats):
+            m, s = load_statistics(video_stats)
+            norm_stats["video_mean"], norm_stats["video_std"] = m, s
+        if not norm_stats:
+            print("warning: no statistics h5 found; training unnormalized")
+            norm_stats = None
+
+    # model + optimizer
+    t_probe = args.bucket
+    if args.modality == "audio":
+        model = AudioVAD(y_dim=y_dim, lstm_hidden_size=args.lstm_hidden,
+                         lstm_layers=args.lstm_layers, dtype=dtype)
+        example = (jnp.zeros((1, t_probe, 513)),)
+        freeze = None
+    elif args.modality == "video":
+        model = VideoVAD(y_dim=y_dim, lstm_hidden_size=args.lstm_hidden,
+                         lstm_layers=args.lstm_layers, dtype=dtype)
+        example = (jnp.zeros((1, 4, 67, 67)),)
+        freeze = None
+    else:
+        model = AVVAD(y_dim=y_dim, lstm_hidden_size=args.lstm_hidden,
+                      lstm_layers=args.lstm_layers, use_mcb=args.mcb,
+                      dtype=dtype)
+        example = (jnp.zeros((1, 4, 513)), jnp.zeros((1, 4, 67, 67)))
+        freeze = trainable_except_video_trunk if args.pretrained_video else None
+
+    tx = make_optimizer(args.lr, freeze_filter=freeze)
+    state = create_train_state(model, jax.random.PRNGKey(args.seed), example, tx)
+
+    start_epoch = args.start_epoch
+    if args.resume:
+        ck = latest_checkpoint(args.model_dir)
+        if ck:
+            state, restored_norm, epoch = restore_checkpoint(ck, state)
+            start_epoch = epoch + 1
+            if restored_norm and norm_stats is None:
+                norm_stats = restored_norm
+            print(f"resumed from {ck} (next epoch {start_epoch})")
+
+    if args.pretrained_video:
+        state = state.replace(params=load_pretrained_trunk(
+            args.pretrained_video, state.params))
+        print(f"loaded + froze video trunk from {args.pretrained_video}")
+
+    trainer = Trainer(state, args.modality, args.model_dir,
+                      norm_stats=norm_stats)
+    result = trainer.fit(train_dl, valid_dl, start_epoch=start_epoch,
+                         end_epoch=args.epochs + 1)
+    print("final:", {k: round(v, 4) for k, v in result.get("valid", {}).items()})
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""Evaluation stack tests: predict->write->score round trip, stats math."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from avvad_tpu.data import AudioSequenceSource
+from avvad_tpu.evaluate import (
+    compute_stats,
+    energy_ratios,
+    evaluate_split,
+    mean_confidence_interval,
+    prediction_paths,
+    score_split,
+)
+from avvad_tpu.models import AudioVAD
+from avvad_tpu.train import create_train_state
+
+
+@pytest.fixture(scope="module")
+def root(ref_subset):
+    return os.path.join(ref_subset, "processed/")
+
+
+def test_mean_confidence_interval_matches_reference_formula():
+    import scipy.stats
+
+    data = [0.5, 0.7, 0.9, 0.6]
+    m, h = mean_confidence_interval(data, 0.95)
+    a = np.array(data)
+    se = scipy.stats.sem(a)
+    h_ref = se * scipy.stats.t.ppf(0.975, len(a) - 1)
+    assert m == round(float(np.mean(a)), 3)
+    assert h == round(float(h_ref), 3)
+
+
+def test_energy_ratios_on_known_mixture():
+    rng = np.random.default_rng(0)
+    s = rng.normal(size=1000)
+    n = rng.normal(size=1000)
+    # s_hat = clean + small noise: SI-SDR should be strongly positive
+    si_sdr, si_sir, si_sar = energy_ratios(s + 0.01 * n, s, n)
+    assert si_sdr > 20
+    assert si_sir > 20
+    # perfect reconstruction of target component: SAR large
+    assert si_sar > 20
+
+
+def test_compute_stats_grouping(tmp_path, capsys):
+    rows = [[0.9, 0.8], [0.7, 0.6], [0.5, 0.4], [0.3, 0.2]]
+    stats = compute_stats(
+        ("accuracy", "f1"), rows, model_data_dir=str(tmp_path),
+        all_snr_db=np.asarray([-5.0, -5.0, 0.0, 0.0]),
+        all_noise_types=["Babble", "Cafe", "Babble", "Cafe"],
+        all_speakers=["a", "a", "b", "b"],
+    )
+    out = capsys.readouterr().out
+    assert "METRIC" in out and "Noise type = Babble" in out
+    assert stats["overall"]["accuracy"]["avg"] == 0.6
+    assert stats["by_snr_db"]["-5.0"]["accuracy"]["avg"] == pytest.approx(0.8)
+    assert stats["by_noise_type"]["Babble"]["f1"]["avg"] == pytest.approx(0.6)
+    assert os.path.exists(tmp_path / "stats.json")
+
+
+def test_predict_score_roundtrip(root, tmp_path):
+    """Full L4 flow on the subset test split: classify -> write .npy ->
+    per-utterance metrics -> grouped stats."""
+    src = AudioSequenceSource(root, "test", "subset", "vad_labels", upsampled=False)
+    assert len(src) == 3
+
+    model = AudioVAD(y_dim=1, lstm_hidden_size=16, lstm_layers=1)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               (jnp.zeros((1, 32, 513)),))
+    classif_dir = str(tmp_path / "classif") + os.sep
+
+    report = evaluate_split(state, src, "audio", classif_dir, batch_size=2,
+                            bucket=64, verbose=False)
+    assert report["n_utterances"] == 3
+    assert report["rt_factor"] > 0
+
+    # every utterance got hard+soft files with the right length
+    for i in range(len(src)):
+        hard, soft = prediction_paths(classif_dir, src.rel_path(i))
+        assert os.path.exists(hard) and os.path.exists(soft)
+        y_hard = np.load(hard)
+        assert y_hard.shape[0] == src[i]["length"]
+        assert set(np.unique(y_hard)).issubset({0, 1})
+
+    stats = score_split(src, root, classif_dir, verbose=False)
+    assert "overall" in stats and "by_noise_type" in stats
+    assert 0.0 <= stats["overall"]["accuracy"]["avg"] <= 1.0
+
+
+def test_visualization_figures(root, tmp_path):
+    from avvad_tpu.processing import read_wav, stft
+    from avvad_tpu.processing.audio_io import peak_normalize
+    from avvad_tpu.visualization import (
+        amplitude_to_db,
+        display_multiple_signals,
+        display_wav_spectro_mask,
+    )
+
+    wav = os.path.join(root, "ntcd_timit/Clean/test/34M/sa1.wav")
+    x, fs = read_wav(wav)
+    x = peak_normalize(x)
+    s = stft(x, fs=fs)
+    mask = (np.abs(s) > np.abs(s).mean()).astype(np.float32)
+
+    db = amplitude_to_db(np.abs(s))
+    assert db.max() == 0.0 and db.min() >= -80.0
+
+    fig = display_wav_spectro_mask(x, s, mask, fs=fs)
+    out = tmp_path / "fig.png"
+    fig.savefig(out)
+    assert out.stat().st_size > 10_000
+
+    fig2 = display_multiple_signals([[x, s, mask], [x, s, None]], fs=fs,
+                                    last_only_label=True)
+    out2 = tmp_path / "fig2.png"
+    fig2.savefig(out2)
+    assert out2.stat().st_size > 10_000
+
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
