@@ -1,0 +1,9 @@
+"""Utilities: profiling/tracing, torch-checkpoint import, misc helpers."""
+
+from .profiling import PhaseTimer, trace
+from .torch_import import (
+    import_torch_lstm,
+    import_torch_resnet18,
+    load_torch_state_dict,
+)
+from .misc import count_parameters

@@ -1,0 +1,108 @@
+"""Import reference (PyTorch) checkpoints into Flax parameter trees.
+
+Lets users of the reference migrate trained weights directly: its
+checkpoints are torch state_dicts of DeepVAD_{audio,video,AV}
+(/root/reference/scripts/train_AV_net.py:443-448) whose submodules are
+torchvision resnet18 ('features.*'), nn.LSTM ('lstm_*'), and nn.Linear
+('vad_*') — all with stable, documented layouts.
+
+Conversions:
+- Conv2d OIHW -> HWIO; Linear (out, in) -> (in, out);
+- BatchNorm weight/bias/running_mean/running_var -> scale/bias + batch_stats;
+- LSTM: see models.lstm.lstm_import_torch_weights (gate order [i,f,g,o]).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+
+def load_torch_state_dict(path: str) -> dict:
+    """Load a torch .pt state dict as {name: numpy array} (CPU, no grad)."""
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: v.detach().numpy() for k, v in state.items()}
+
+
+def _conv(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w, (2, 3, 1, 0))  # OIHW -> HWIO
+
+
+def _bn(state: dict, prefix: str):
+    return (
+        {"scale": state[f"{prefix}.weight"], "bias": state[f"{prefix}.bias"]},
+        {"mean": state[f"{prefix}.running_mean"],
+         "var": state[f"{prefix}.running_var"]},
+    )
+
+
+# torchvision resnet18 wraps children in an nn.Sequential when the FC layer
+# is stripped ('features.N...'); index -> our module name.
+_SEQ_IDX = {0: "conv1", 1: "bn1", 4: "layer1", 5: "layer2", 6: "layer3",
+            7: "layer4"}
+
+
+def _normalize_resnet_keys(state: dict, prefix: str) -> dict:
+    """Strip `prefix` and map Sequential indices to torchvision names."""
+    out = {}
+    for k, v in state.items():
+        if prefix and not k.startswith(prefix):
+            continue
+        k = k[len(prefix):] if prefix else k
+        parts = k.split(".")
+        if parts[0].isdigit():
+            idx = int(parts[0])
+            if idx not in _SEQ_IDX:
+                continue
+            parts[0] = _SEQ_IDX[idx]
+            k = ".".join(parts)
+        out[k] = v
+    return out
+
+
+def import_torch_resnet18(state: dict, prefix: str = "features."):
+    """torchvision resnet18 state (trunk) -> (params, batch_stats) trees
+    matching avvad_tpu.models.ResNet18."""
+    s = _normalize_resnet_keys(state, prefix)
+    params: dict[str, Any] = {}
+    stats: dict[str, Any] = {}
+
+    params["conv1"] = {"kernel": _conv(s["conv1.weight"])}
+    params["bn1"], stats["bn1"] = _bn(s, "bn1")
+
+    for stage in range(1, 5):
+        for block in range(2):
+            name = f"layer{stage}_{block}"
+            t = f"layer{stage}.{block}"
+            p: dict[str, Any] = {
+                "conv1": {"kernel": _conv(s[f"{t}.conv1.weight"])},
+                "conv2": {"kernel": _conv(s[f"{t}.conv2.weight"])},
+            }
+            st: dict[str, Any] = {}
+            p["bn1"], st["bn1"] = _bn(s, f"{t}.bn1")
+            p["bn2"], st["bn2"] = _bn(s, f"{t}.bn2")
+            if f"{t}.downsample.0.weight" in s:
+                p["downsample_conv"] = {"kernel": _conv(s[f"{t}.downsample.0.weight"])}
+                # torch names the shortcut BN 'downsample.1'
+                p["downsample_bn"], st["downsample_bn"] = _bn(s, f"{t}.downsample.1")
+            params[name] = p
+            stats[name] = st
+    return params, stats
+
+
+def import_torch_lstm(params, state: dict, prefix: str):
+    """Delegate to models.lstm.lstm_import_torch_weights."""
+    from ..models.lstm import lstm_import_torch_weights
+
+    return lstm_import_torch_weights(params, state, prefix)
+
+
+def import_torch_linear(state: dict, prefix: str):
+    """nn.Linear -> flax Dense params."""
+    p = {"kernel": np.transpose(state[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in state:
+        p["bias"] = state[f"{prefix}.bias"]
+    return p

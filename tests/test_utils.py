@@ -1,0 +1,112 @@
+"""Utils tests: torch checkpoint import, profiling, param count."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def _fake_torchvision_resnet18_state(rng, prefix="features."):
+    """Synthesize a state dict with torchvision's trunk names/shapes
+    (Sequential-index form, as the reference's checkpoints store it)."""
+    s = {}
+
+    def conv(o, i, k):
+        return rng.normal(size=(o, i, k, k)).astype(np.float32)
+
+    def bn(pfx, c):
+        s[f"{pfx}.weight"] = rng.normal(size=c).astype(np.float32)
+        s[f"{pfx}.bias"] = rng.normal(size=c).astype(np.float32)
+        s[f"{pfx}.running_mean"] = rng.normal(size=c).astype(np.float32)
+        s[f"{pfx}.running_var"] = np.abs(rng.normal(size=c)).astype(np.float32) + 0.5
+
+    s[prefix + "0.weight"] = conv(64, 3, 7)
+    bn(prefix + "1", 64)
+    widths = [64, 128, 256, 512]
+    for stage, seq_idx in enumerate([4, 5, 6, 7]):
+        w = widths[stage]
+        w_in = widths[stage - 1] if stage > 0 else 64
+        for block in range(2):
+            t = f"{prefix}{seq_idx}.{block}"
+            cin = w_in if block == 0 else w
+            s[f"{t}.conv1.weight"] = conv(w, cin, 3)
+            bn(f"{t}.bn1", w)
+            s[f"{t}.conv2.weight"] = conv(w, w, 3)
+            bn(f"{t}.bn2", w)
+            if block == 0 and stage > 0:
+                s[f"{t}.downsample.0.weight"] = conv(w, cin, 1)
+                bn(f"{t}.downsample.1", w)
+    return s
+
+
+def test_import_torch_resnet18_structure_and_numerics():
+    from avvad_tpu.models import ResNet18
+    from avvad_tpu.utils import import_torch_resnet18
+
+    rng = np.random.default_rng(0)
+    state = _fake_torchvision_resnet18_state(rng)
+    params, stats = import_torch_resnet18(state)
+
+    # must slot into the flax model and run
+    model = ResNet18()
+    x = jnp.asarray(rng.normal(size=(2, 67, 67, 3)).astype(np.float32))
+    ref_vars = model.init(jax.random.PRNGKey(0), x)
+    # identical tree structure
+    assert jax.tree_util.tree_structure(ref_vars["params"]) == \
+        jax.tree_util.tree_structure(jax.tree_util.tree_map(jnp.asarray, params))
+    y = model.apply({"params": params, "batch_stats": stats}, x)
+    assert y.shape == (2, 512)
+    assert np.isfinite(np.asarray(y)).all()
+
+    # a known kernel round-trips with the OIHW->HWIO transpose
+    np.testing.assert_array_equal(
+        np.asarray(params["conv1"]["kernel"]),
+        state["features.0.weight"].transpose(2, 3, 1, 0),
+    )
+
+
+def test_import_into_video_tower_and_freeze_path():
+    """Imported trunk slots under the AVVAD 'tower/features' subtree."""
+    from avvad_tpu.models import AVVAD
+    from avvad_tpu.utils import import_torch_resnet18
+
+    rng = np.random.default_rng(1)
+    params, stats = import_torch_resnet18(_fake_torchvision_resnet18_state(rng))
+
+    model = AVVAD(y_dim=1, lstm_hidden_size=8, lstm_layers=1, use_mcb=False)
+    a = jnp.zeros((1, 2, 513))
+    v = jnp.zeros((1, 2, 67, 67))
+    variables = model.init(jax.random.PRNGKey(0), a, v)
+    new_params = dict(variables["params"])
+    tower = dict(new_params["tower"])
+    tower["features"] = jax.tree_util.tree_map(jnp.asarray, params)
+    new_params["tower"] = tower
+    new_stats = dict(variables["batch_stats"])
+    tower_stats = dict(new_stats["tower"])
+    tower_stats["features"] = jax.tree_util.tree_map(jnp.asarray, stats)
+    new_stats["tower"] = tower_stats
+
+    y = model.apply({"params": new_params, "batch_stats": new_stats}, a, v)
+    assert y.shape == (1, 2, 1)
+
+
+def test_phase_timer_report():
+    import time
+
+    from avvad_tpu.utils import PhaseTimer
+
+    t = PhaseTimer()
+    with t.phase("a"):
+        time.sleep(0.01)
+    with t.phase("a"):
+        pass
+    with t.phase("b"):
+        pass
+    rep = t.report()
+    assert "a" in rep and "b" in rep and t.counts["a"] == 2
+
+
+def test_count_parameters():
+    from avvad_tpu.utils import count_parameters
+
+    params = {"w": np.zeros((3, 4)), "b": np.zeros(4)}
+    assert count_parameters(params) == 16
