@@ -49,11 +49,26 @@ def evaluate_split(
     bucket: int = 128,
     eps: float = 1e-8,
     verbose: bool = True,
+    mesh=None,
 ) -> dict:
     """Classify every utterance of `source`, write predictions, return a
     wall-clock report (the reference's perf_counter harness,
-    evaluate_AV_net.py:336-342)."""
+    evaluate_AV_net.py:336-342).
+
+    With `mesh`, batches shard over the mesh `data` axis — the TPU
+    equivalent of the reference's multi-GPU spawn-pool fan-out
+    (evaluate_AV_net.py:299-339), with XLA doing the scatter/gather.
+    `batch_size` must then be a multiple of the data-axis size."""
     predict = make_predict_step(modality, eps)
+    if mesh is not None:
+        from ..parallel import shard_batch, shard_params
+
+        if batch_size % mesh.devices.shape[0] != 0:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by data axis "
+                f"{mesh.devices.shape[0]}"
+            )
+        state = state.replace(params=shard_params(mesh, state.params))
     loader = DataLoader(source, batch_size=batch_size, shuffle=False,
                         bucket=bucket, pad_batch_to_full=True,
                         sort_pool_factor=0)
@@ -68,6 +83,10 @@ def evaluate_split(
     it = iter(order)
 
     for batch in loader:
+        if mesh is not None:
+            from ..parallel import shard_batch
+
+            batch = shard_batch(mesh, batch)
         y_soft = np.asarray(predict(state, batch, norm_stats))  # (B, T, y)
         for row in range(batch.batch_size):
             length = int(batch.lengths[row])

@@ -37,10 +37,18 @@ def _uniform_init(scale: float):
 
 
 class LSTMCellFused(nn.Module):
-    """One LSTM layer over a full (B, T, D) sequence via lax.scan."""
+    """One LSTM layer over a full (B, T, D) sequence.
+
+    Two recurrence backends:
+    - `use_pallas=True` (inference fast path): the weight-stationary Pallas
+      kernel (ops.lstm_pallas) — W_hh stays resident in VMEM across all
+      timesteps instead of being re-read from HBM each scan step.
+    - default: lax.scan (differentiable; used for training).
+    """
 
     hidden_size: int
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, h0: Optional[tuple] = None) -> jax.Array:
@@ -53,6 +61,14 @@ class LSTMCellFused(nn.Module):
 
         # Hoist the input projection out of the recurrence: one big matmul.
         x_proj = (x.astype(self.dtype) @ w_ih.astype(self.dtype) + bias.astype(self.dtype))
+
+        if self.use_pallas and h0 is None:
+            from ..ops.lstm_pallas import lstm_layer_fused
+
+            interpret = jax.devices()[0].platform == "cpu"
+            return lstm_layer_fused(x_proj.astype(jnp.float32),
+                                    w_hh.astype(jnp.float32),
+                                    interpret=interpret).astype(self.dtype)
 
         if h0 is None:
             c0 = jnp.zeros((b, h), dtype=self.dtype)
@@ -84,11 +100,13 @@ class LSTMStack(nn.Module):
     hidden_size: int = 1024
     num_layers: int = 2
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         for layer in range(self.num_layers):
             x = LSTMCellFused(self.hidden_size, dtype=self.dtype,
+                              use_pallas=self.use_pallas,
                               name=f"layer_{layer}")(x)
         return x
 

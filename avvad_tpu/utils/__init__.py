@@ -7,3 +7,4 @@ from .torch_import import (
     load_torch_state_dict,
 )
 from .misc import count_parameters
+from .cache import enable_compilation_cache

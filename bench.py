@@ -22,6 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 import jax.numpy as jnp
+
+from avvad_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
 import numpy as np
 
 

@@ -21,6 +21,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
+from avvad_tpu.utils import enable_compilation_cache
+
+enable_compilation_cache()
+
 
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__,
