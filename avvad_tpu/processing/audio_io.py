@@ -20,11 +20,29 @@ _INT_SCALE = {
 }
 
 
+def _native_reader():
+    """The C++ decoder (native/avvad_io.cpp) when opted in via
+    AVVAD_NATIVE=1; parity-tested against the scipy path."""
+    import os
+
+    if os.environ.get("AVVAD_NATIVE") != "1":
+        return None
+    try:
+        from .. import native
+
+        return native if native.available() else None
+    except Exception:
+        return None
+
+
 def read_wav(path: str) -> tuple[np.ndarray, int]:
     """Read a WAV file -> (float32 mono signal in [-1, 1], sample_rate).
 
     Multi-channel files return channel 0, mirroring the reference's
     `speech[0]` convention."""
+    nat = _native_reader()
+    if nat is not None:
+        return nat.read_wav(path)
     fs, data = wavfile.read(path)
     if data.ndim == 2:
         data = data[:, 0]

@@ -1,0 +1,200 @@
+// avvad_io: native host-IO core for the avvad_tpu data pipeline.
+//
+// The framework's host-side hot path during training/eval is WAV decode +
+// peak normalization + (for label building) frame-energy VAD over millions
+// of utterance reads. The reference does all of this through Python
+// (torchaudio/librosa); here the inner loops are C++ behind a minimal C ABI
+// consumed via ctypes (no pybind11 dependency).
+//
+// Formats: RIFF/WAVE with PCM 8/16/32-bit and IEEE float32, arbitrary
+// channel count (channel 0 is returned, matching the pipeline's
+// convention). Scaling matches avvad_tpu.processing.audio_io: int16/32 map
+// to [-1, 1) by 1/2^(bits-1); uint8 is offset binary.
+//
+// Build: make -C native   (produces libavvad_io.so; loaded lazily by
+// avvad_tpu.native with a pure-Python fallback when absent).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <cmath>
+#include <vector>
+
+extern "C" {
+
+// Error codes (negative returns)
+enum {
+  AVVAD_ERR_OPEN = -1,
+  AVVAD_ERR_FORMAT = -2,
+  AVVAD_ERR_TRUNCATED = -3,
+  AVVAD_ERR_TOOSMALL = -4,
+  AVVAD_ERR_BADARG = -5,
+};
+
+struct WavInfo {
+  int32_t sample_rate;
+  int32_t channels;
+  int32_t bits_per_sample;
+  int32_t audio_format;  // 1 = PCM, 3 = IEEE float
+  int64_t n_frames;      // samples per channel
+  int64_t data_offset;   // byte offset of sample data
+  int64_t data_bytes;
+};
+
+static int parse_wav_header(FILE* f, WavInfo* info) {
+  uint8_t hdr[12];
+  if (fread(hdr, 1, 12, f) != 12) return AVVAD_ERR_TRUNCATED;
+  if (memcmp(hdr, "RIFF", 4) != 0 || memcmp(hdr + 8, "WAVE", 4) != 0)
+    return AVVAD_ERR_FORMAT;
+
+  bool have_fmt = false;
+  info->data_offset = -1;
+  for (;;) {
+    uint8_t chunk[8];
+    if (fread(chunk, 1, 8, f) != 8) break;
+    uint32_t size;
+    memcpy(&size, chunk + 4, 4);
+    if (memcmp(chunk, "fmt ", 4) == 0) {
+      uint8_t fmt[16];
+      if (size < 16 || fread(fmt, 1, 16, f) != 16) return AVVAD_ERR_TRUNCATED;
+      uint16_t audio_format, channels, block_align, bits;
+      uint32_t sample_rate;
+      memcpy(&audio_format, fmt + 0, 2);
+      memcpy(&channels, fmt + 2, 2);
+      memcpy(&sample_rate, fmt + 4, 4);
+      memcpy(&block_align, fmt + 12, 2);
+      memcpy(&bits, fmt + 14, 2);
+      // WAVE_FORMAT_EXTENSIBLE (0xFFFE) carries the real format in the
+      // extension; treat it as PCM (NTCD-TIMIT is plain PCM anyway).
+      info->audio_format = (audio_format == 0xFFFE) ? 1 : audio_format;
+      info->channels = channels;
+      info->sample_rate = (int32_t)sample_rate;
+      info->bits_per_sample = bits;
+      if (size > 16) fseek(f, size - 16, SEEK_CUR);
+      have_fmt = true;
+    } else if (memcmp(chunk, "data", 4) == 0) {
+      info->data_offset = ftell(f);
+      info->data_bytes = size;
+      fseek(f, size + (size & 1), SEEK_CUR);
+    } else {
+      fseek(f, size + (size & 1), SEEK_CUR);
+    }
+  }
+  if (!have_fmt || info->data_offset < 0) return AVVAD_ERR_FORMAT;
+  int bytes_per_frame = info->channels * (info->bits_per_sample / 8);
+  if (bytes_per_frame <= 0) return AVVAD_ERR_FORMAT;
+  info->n_frames = info->data_bytes / bytes_per_frame;
+  return 0;
+}
+
+// Fill (sr, channels, n_frames) for a wav file; returns 0 or an error code.
+int wav_info(const char* path, int32_t* sample_rate, int32_t* channels,
+             int64_t* n_frames) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return AVVAD_ERR_OPEN;
+  WavInfo info;
+  int rc = parse_wav_header(f, &info);
+  fclose(f);
+  if (rc != 0) return rc;
+  *sample_rate = info.sample_rate;
+  *channels = info.channels;
+  *n_frames = info.n_frames;
+  return 0;
+}
+
+// Decode channel 0 into out[0..max_samples) as float32 in [-1, 1].
+// Returns the number of samples written, or a negative error code.
+int64_t wav_read_f32(const char* path, float* out, int64_t max_samples,
+                     int32_t* sample_rate) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return AVVAD_ERR_OPEN;
+  WavInfo info;
+  int rc = parse_wav_header(f, &info);
+  if (rc != 0) { fclose(f); return rc; }
+  if (info.n_frames > max_samples) { fclose(f); return AVVAD_ERR_TOOSMALL; }
+  *sample_rate = info.sample_rate;
+
+  fseek(f, (long)info.data_offset, SEEK_SET);
+  std::vector<uint8_t> raw((size_t)info.data_bytes);
+  if (fread(raw.data(), 1, raw.size(), f) != raw.size()) {
+    fclose(f);
+    return AVVAD_ERR_TRUNCATED;
+  }
+  fclose(f);
+
+  const int ch = info.channels;
+  const int64_t n = info.n_frames;
+  switch (info.bits_per_sample) {
+    case 8: {  // unsigned, offset binary
+      const uint8_t* p = raw.data();
+      for (int64_t i = 0; i < n; ++i)
+        out[i] = ((float)p[i * ch] - 128.0f) / 128.0f;
+      break;
+    }
+    case 16: {
+      const int16_t* p = (const int16_t*)raw.data();
+      const float s = 1.0f / 32768.0f;
+      for (int64_t i = 0; i < n; ++i) out[i] = (float)p[i * ch] * s;
+      break;
+    }
+    case 32: {
+      if (info.audio_format == 3) {  // IEEE float
+        const float* p = (const float*)raw.data();
+        for (int64_t i = 0; i < n; ++i) out[i] = p[i * ch];
+      } else {
+        const int32_t* p = (const int32_t*)raw.data();
+        const double s = 1.0 / 2147483648.0;
+        for (int64_t i = 0; i < n; ++i) out[i] = (float)(p[i * ch] * s);
+      }
+      break;
+    }
+    default:
+      return AVVAD_ERR_FORMAT;
+  }
+  return n;
+}
+
+// In-place x /= max(|x|). No-op on all-zero input.
+void peak_normalize(float* x, int64_t n) {
+  float peak = 0.0f;
+  for (int64_t i = 0; i < n; ++i) {
+    float a = std::fabs(x[i]);
+    if (a > peak) peak = a;
+  }
+  if (peak > 0.0f) {
+    const float inv = 1.0f / peak;
+    for (int64_t i = 0; i < n; ++i) x[i] *= inv;
+  }
+}
+
+// Frame-energy VAD over an (optionally end-padded) signal:
+//   vad[t] = sum(x[t*hop : t*hop+nfft]^2) > 10^threshold * min_frame_power
+// Matches avvad_tpu.processing.targets.clean_speech_VAD (pad decision is
+// the caller's: pass pad_end = hop to append that many zeros).
+// Returns the number of frames written, or a negative error code.
+int64_t frame_energy_vad(const float* x, int64_t n, int32_t nfft, int32_t hop,
+                         int32_t pad_end, double threshold_log10, float* out,
+                         int64_t max_frames) {
+  if (nfft <= 0 || hop <= 0 || n + pad_end < nfft) return AVVAD_ERR_BADARG;
+  const int64_t total = n + pad_end;
+  const int64_t n_frames = 1 + (total - nfft) / hop;
+  if (n_frames > max_frames) return AVVAD_ERR_TOOSMALL;
+
+  std::vector<double> power((size_t)n_frames);
+  double min_power = 1e300;
+  for (int64_t t = 0; t < n_frames; ++t) {
+    const int64_t s = t * hop;
+    double acc = 0.0;
+    const int64_t lim = (s + nfft <= n) ? nfft : (n > s ? n - s : 0);
+    const float* p = x + s;
+    for (int64_t k = 0; k < lim; ++k) acc += (double)p[k] * (double)p[k];
+    power[(size_t)t] = acc;
+    if (acc < min_power) min_power = acc;
+  }
+  const double thr = std::pow(10.0, threshold_log10) * min_power;
+  for (int64_t t = 0; t < n_frames; ++t)
+    out[t] = power[(size_t)t] > thr ? 1.0f : 0.0f;
+  return n_frames;
+}
+
+}  // extern "C"
