@@ -37,12 +37,50 @@ class AudioVAD(nn.Module):
     lstm_hidden_size: int = 1024
     lstm_layers: int = 2
     dtype: jnp.dtype = jnp.float32
+    use_pallas_lstm: bool = False
 
     @nn.compact
     def __call__(self, audio: jax.Array, lengths: Optional[jax.Array] = None,
                  train: bool = False) -> jax.Array:
         x = LSTMStack(self.lstm_hidden_size, self.lstm_layers, dtype=self.dtype,
+                      use_pallas=self.use_pallas_lstm,
                       name="lstm_audio")(audio)
+        return nn.Dense(self.y_dim, name="vad_audio")(x)
+
+
+class RawAudioVAD(nn.Module):
+    """Raw-waveform audio VAD: WaveNet encoder frontend -> LSTM -> Dense.
+
+    The paper's raw-waveform branch, which the reference kept plumbed but
+    commented out (Audio_Net.py:26-29,44 wires wavenet_autoencoder before
+    the LSTM; the *WavLabeledFrames datasets exist for it). Here it is a
+    first-class model: the encoder's adaptive pool re-times the waveform to
+    the label frame rate (`out_frames` = the batch's padded frame count).
+    """
+
+    y_dim: int = 1
+    lstm_hidden_size: int = 1024
+    lstm_layers: int = 2
+    out_frames: int = 128
+    wavenet_kwargs: Optional[dict] = None
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, waveform: jax.Array,
+                 lengths: Optional[jax.Array] = None,
+                 train: bool = False) -> jax.Array:
+        from .wavenet import WaveNetEncoder
+
+        kw = dict(quantization_channels=1, residual_channels=32,
+                  dilation_channels=32, bottleneck_width=64,
+                  filter_width=3,
+                  dilations=(1, 2, 4, 8, 16, 32, 64, 128, 256, 512))
+        kw.update(self.wavenet_kwargs or {})
+        enc = WaveNetEncoder(pool_kernel_size=self.out_frames,
+                             dtype=self.dtype, name="wavenet_en", **kw)
+        x = enc(waveform[..., None])  # (B, out_frames, bottleneck)
+        x = LSTMStack(self.lstm_hidden_size, self.lstm_layers,
+                      dtype=self.dtype, name="lstm_audio")(x)
         return nn.Dense(self.y_dim, name="vad_audio")(x)
 
 
@@ -50,16 +88,21 @@ class _VideoTower(nn.Module):
     """Grayscale (B,T,H,W) -> (B,T,512) ResNet features.
 
     The frame batch is flattened to (B*T, H, W, 3) so the convs see one
-    large MXU-friendly batch (the hot loop of the whole framework)."""
+    large MXU-friendly batch (the hot loop of the whole framework).
+    `remat=True` rematerializes the trunk in the backward pass, trading
+    FLOPs for activation memory so bigger (B*T) frame batches fit HBM."""
 
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, video: jax.Array, train: bool = False) -> jax.Array:
         b, t, h, w = video.shape
         frames = video.reshape(b * t, h, w, 1)
         frames = jnp.repeat(frames, 3, axis=-1)  # replicate to RGB
-        feats = ResNet18(dtype=self.dtype, name="features")(frames, train=train)
+        trunk_cls = nn.remat(ResNet18, static_argnums=(2,)) if self.remat \
+            else ResNet18
+        feats = trunk_cls(dtype=self.dtype, name="features")(frames, train)
         return feats.reshape(b, t, -1)
 
 
@@ -68,12 +111,16 @@ class VideoVAD(nn.Module):
     lstm_hidden_size: int = 1024
     lstm_layers: int = 2
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+    use_pallas_lstm: bool = False
 
     @nn.compact
     def __call__(self, video: jax.Array, lengths: Optional[jax.Array] = None,
                  train: bool = False, return_last: bool = False) -> jax.Array:
-        x = _VideoTower(dtype=self.dtype, name="tower")(video, train=train)
+        x = _VideoTower(dtype=self.dtype, remat=self.remat,
+                        name="tower")(video, train=train)
         x = LSTMStack(self.lstm_hidden_size, self.lstm_layers, dtype=self.dtype,
+                      use_pallas=self.use_pallas_lstm,
                       name="lstm_video")(x)
         if return_last:
             if lengths is None:
@@ -94,12 +141,15 @@ class AVVAD(nn.Module):
     num_video_features: int = 512
     eps: float = 1e-8
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+    use_pallas_lstm: bool = False
 
     @nn.compact
     def __call__(self, audio: jax.Array, video: jax.Array,
                  lengths: Optional[jax.Array] = None,
                  train: bool = False) -> jax.Array:
-        v = _VideoTower(dtype=self.dtype, name="tower")(video, train=train)
+        v = _VideoTower(dtype=self.dtype, remat=self.remat,
+                        name="tower")(video, train=train)
 
         if self.use_mcb:
             y = CompactBilinearPooling(
@@ -115,6 +165,7 @@ class AVVAD(nn.Module):
             y = jnp.concatenate([audio, v], axis=-1)
 
         y = LSTMStack(self.lstm_hidden_size, self.lstm_layers, dtype=self.dtype,
+                      use_pallas=self.use_pallas_lstm,
                       name="lstm_merged")(y)
         return nn.Dense(self.y_dim, name="vad_merged")(y)
 

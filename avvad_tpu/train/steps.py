@@ -44,6 +44,8 @@ def _forward_inputs(modality: str, batch, norm_stats, eps: float):
         return (video,)
     if modality == "av":
         return (audio, video)
+    if modality == "waveform":
+        return (batch.waveform,)
     raise ValueError(f"unknown modality: {modality}")
 
 

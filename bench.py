@@ -41,7 +41,8 @@ def main():
     b, t = 8, 512
     n_samples = hop * (t - 1) + 1024  # exactly t STFT frames, no end pad
 
-    model = AVVAD(y_dim=1, lstm_hidden_size=1024, lstm_layers=2, use_mcb=True)
+    model = AVVAD(y_dim=1, lstm_hidden_size=1024, lstm_layers=2, use_mcb=True,
+                  use_pallas_lstm=True)
     rng = jax.random.PRNGKey(0)
     audio_wave = jax.random.normal(rng, (b, n_samples), dtype=jnp.float32)
     video = jax.random.normal(jax.random.PRNGKey(1), (b, t, 67, 67),
