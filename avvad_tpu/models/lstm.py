@@ -49,9 +49,10 @@ class LSTMCellFused(nn.Module):
     hidden_size: int
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    return_carry: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array, h0: Optional[tuple] = None) -> jax.Array:
+    def __call__(self, x: jax.Array, h0: Optional[tuple] = None):
         b, t, d = x.shape
         h = self.hidden_size
         scale = 1.0 / float(np.sqrt(h))
@@ -90,8 +91,11 @@ class LSTMCellFused(nn.Module):
             hy = o * jnp.tanh(c)
             return (hy, c), hy
 
-        (_, _), ys = jax.lax.scan(step, (hh0, c0), jnp.swapaxes(x_proj, 0, 1))
-        return jnp.swapaxes(ys, 0, 1)  # (B, T, H)
+        carry, ys = jax.lax.scan(step, (hh0, c0), jnp.swapaxes(x_proj, 0, 1))
+        out = jnp.swapaxes(ys, 0, 1)  # (B, T, H)
+        if self.return_carry:
+            return out, carry
+        return out
 
 
 class LSTMStack(nn.Module):
@@ -103,11 +107,27 @@ class LSTMStack(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, carries: Optional[list] = None,
+                 return_carries: bool = False):
+        """carries: per-layer (h, c) from a previous chunk (streaming).
+
+        With return_carries=True, returns (outputs, new_carries) so a
+        caller can continue the recurrence across chunk boundaries."""
+        new_carries = []
         for layer in range(self.num_layers):
-            x = LSTMCellFused(self.hidden_size, dtype=self.dtype,
-                              use_pallas=self.use_pallas,
-                              name=f"layer_{layer}")(x)
+            cell = LSTMCellFused(self.hidden_size, dtype=self.dtype,
+                                 use_pallas=self.use_pallas,
+                                 return_carry=return_carries,
+                                 name=f"layer_{layer}")
+            h0 = carries[layer] if carries is not None else None
+            out = cell(x, h0=h0)
+            if return_carries:
+                x, carry = out
+                new_carries.append(carry)
+            else:
+                x = out
+        if return_carries:
+            return x, new_carries
         return x
 
 

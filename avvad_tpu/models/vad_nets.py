@@ -33,19 +33,30 @@ from .resnet import ResNet18
 
 
 class AudioVAD(nn.Module):
+    """setup-style (submodules are attributes) so streaming serving can
+    apply the LSTM head with carried state (see avvad_tpu.serve)."""
+
     y_dim: int = 1
     lstm_hidden_size: int = 1024
     lstm_layers: int = 2
     dtype: jnp.dtype = jnp.float32
     use_pallas_lstm: bool = False
 
-    @nn.compact
+    def setup(self):
+        self.lstm_audio = LSTMStack(self.lstm_hidden_size, self.lstm_layers,
+                                    dtype=self.dtype,
+                                    use_pallas=self.use_pallas_lstm)
+        self.vad_audio = nn.Dense(self.y_dim)
+
     def __call__(self, audio: jax.Array, lengths: Optional[jax.Array] = None,
                  train: bool = False) -> jax.Array:
-        x = LSTMStack(self.lstm_hidden_size, self.lstm_layers, dtype=self.dtype,
-                      use_pallas=self.use_pallas_lstm,
-                      name="lstm_audio")(audio)
-        return nn.Dense(self.y_dim, name="vad_audio")(x)
+        return self.vad_audio(self.lstm_audio(audio))
+
+    def streaming_head(self, feats: jax.Array, carries):
+        """One streaming block: (logits, new_carries)."""
+        out, new_carries = self.lstm_audio(feats, carries=carries,
+                                           return_carries=True)
+        return self.vad_audio(out), new_carries
 
 
 class RawAudioVAD(nn.Module):

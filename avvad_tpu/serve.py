@@ -1,0 +1,146 @@
+"""Streaming VAD serving.
+
+The reference has no inference-service layer (SURVEY §1: evaluation writes
+per-utterance files to disk). This module adds a production-serving
+capability the TPU design enables naturally: a stateful streaming
+classifier that accepts raw PCM in arbitrary-size chunks and emits
+frame-level speech probabilities with bounded latency.
+
+Design:
+- host side keeps only a sample ring (window overlap) and a running peak
+  for normalization; framing is a numpy view,
+- one jitted device step per fixed frame-block: windowed-DFT log-power
+  frontend + dataset normalization + LSTM with carried (h, c) per layer +
+  Dense + sigmoid — the recurrent state crosses chunk boundaries, so the
+  output is bit-identical to offline classification of the concatenated
+  stream (modulo the causal running-peak vs global-peak normalization,
+  which is inherent to streaming).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import STFTConfig
+from .models import AudioVAD
+from .ops.stft import _windowed_dft_bases
+
+
+class StreamingVAD:
+    """Stateful streaming frame classifier around an AudioVAD checkpoint.
+
+    feed(pcm) -> float32 array of speech probabilities for every STFT frame
+    completed by this chunk (possibly empty).
+    """
+
+    def __init__(
+        self,
+        model: AudioVAD,
+        variables: dict,
+        norm_stats: Optional[dict] = None,
+        stft_cfg: STFTConfig = STFTConfig(),
+        block_frames: int = 16,
+        fixed_peak: Optional[float] = None,
+    ):
+        self.model = model
+        self.variables = variables
+        self.cfg = stft_cfg
+        self.block_frames = block_frames
+        self.fixed_peak = fixed_peak
+
+        self._nfft = stft_cfg.nfft
+        self._hop = stft_cfg.hopsamp
+        cos_b, sin_b = _windowed_dft_bases(self._nfft)
+        self._cos = jnp.asarray(cos_b)
+        self._sin = jnp.asarray(sin_b)
+
+        if norm_stats and norm_stats.get("audio_mean") is not None:
+            self._mean = jnp.asarray(np.asarray(norm_stats["audio_mean"]).reshape(-1))
+            self._std = jnp.asarray(np.asarray(norm_stats["audio_std"]).reshape(-1))
+        else:
+            self._mean = None
+            self._std = None
+
+        self._step = self._build_step()
+        self.reset()
+
+    # -- state ---------------------------------------------------------------
+
+    def reset(self) -> None:
+        self._buf = np.zeros(0, dtype=np.float32)
+        self._frames = np.zeros((0, self._nfft), dtype=np.float32)
+        self._peak = self.fixed_peak or 0.0
+        h = self.model.lstm_hidden_size
+        zeros = lambda: (jnp.zeros((1, h)), jnp.zeros((1, h)))  # noqa: E731
+        self._carries = [zeros() for _ in range(self.model.lstm_layers)]
+
+    # -- device step ---------------------------------------------------------
+
+    def _build_step(self):
+        model = self.model
+        eps = self.cfg.eps
+        cos_b, sin_b, mean, std = self._cos, self._sin, self._mean, self._std
+        hp = jax.lax.Precision.HIGHEST
+
+        @jax.jit
+        def step(variables, frames, peak, carries):
+            # frames: (block, nfft) raw samples; normalize by running peak
+            x = frames / jnp.maximum(peak, 1e-12)
+            re = jnp.matmul(x, cos_b, precision=hp)
+            im = jnp.matmul(x, sin_b, precision=hp)
+            feats = jnp.log(re * re + im * im + eps)[None]  # (1, block, F)
+            if mean is not None:
+                feats = (feats - mean) / (std + eps)
+
+            logits, new_carries = model.apply(variables, feats, carries,
+                                              method=model.streaming_head)
+            return jax.nn.sigmoid(logits[0, :, 0]), new_carries
+
+        return step
+
+    # -- streaming API -------------------------------------------------------
+
+    def feed(self, pcm: np.ndarray) -> np.ndarray:
+        """Push a chunk of samples; returns probabilities of newly completed
+        frames (in order). Call flush() at stream end for the tail."""
+        pcm = np.asarray(pcm, dtype=np.float32)
+        if self.fixed_peak is None and pcm.size:
+            self._peak = max(self._peak, float(np.max(np.abs(pcm))))
+        self._buf = np.concatenate([self._buf, pcm])
+
+        # cut completed windows out of the sample buffer
+        n_new = 1 + (len(self._buf) - self._nfft) // self._hop \
+            if len(self._buf) >= self._nfft else 0
+        if n_new > 0:
+            idx = (np.arange(n_new)[:, None] * self._hop
+                   + np.arange(self._nfft)[None, :])
+            self._frames = np.concatenate([self._frames, self._buf[idx]])
+            self._buf = self._buf[n_new * self._hop:]
+
+        # run full blocks through the device step
+        outs = []
+        while len(self._frames) >= self.block_frames:
+            block = jnp.asarray(self._frames[: self.block_frames])
+            self._frames = self._frames[self.block_frames:]
+            probs, self._carries = self._step(
+                self.variables, block, jnp.float32(self._peak), self._carries)
+            outs.append(np.asarray(probs))
+        return np.concatenate(outs) if outs else np.zeros(0, dtype=np.float32)
+
+    def flush(self) -> np.ndarray:
+        """Classify remaining frames (zero-padding the final block)."""
+        n = len(self._frames)
+        if n == 0:
+            return np.zeros(0, dtype=np.float32)
+        pad = self.block_frames - n
+        block = np.concatenate(
+            [self._frames, np.zeros((pad, self._nfft), np.float32)])
+        self._frames = self._frames[:0]
+        probs, self._carries = self._step(
+            self.variables, jnp.asarray(block), jnp.float32(self._peak),
+            self._carries)
+        return np.asarray(probs)[:n]

@@ -1,0 +1,65 @@
+"""Streaming serving: chunked output must match offline classification."""
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avvad_tpu.config import STFTConfig
+from avvad_tpu.models import AudioVAD
+from avvad_tpu.processing import read_wav
+from avvad_tpu.processing.audio_io import peak_normalize
+from avvad_tpu.serve import StreamingVAD
+
+
+def _model_and_vars(h=16, layers=2):
+    model = AudioVAD(y_dim=1, lstm_hidden_size=h, lstm_layers=layers)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 513)))
+    return model, variables
+
+
+def test_streaming_matches_offline(ref_subset):
+    wav = sorted(glob.glob(os.path.join(
+        ref_subset, "processed/ntcd_timit/Clean/**/*.wav"), recursive=True))[0]
+    x, fs = read_wav(wav)
+    xn = peak_normalize(x)
+    cfg = STFTConfig()
+
+    model, variables = _model_and_vars()
+
+    # offline: full-utterance log-power features -> model
+    from avvad_tpu.ops.stft import log_power_frontend
+
+    feats = log_power_frontend(jnp.asarray(x)[None], fs=cfg.fs,
+                               pad_at_end=False)
+    offline = np.asarray(jax.nn.sigmoid(
+        model.apply(variables, feats)))[0, :, 0]
+
+    # streaming with the known global peak, fed in ragged chunks
+    sv = StreamingVAD(model, variables, stft_cfg=cfg, block_frames=8,
+                      fixed_peak=float(np.max(np.abs(x))))
+    rng = np.random.default_rng(0)
+    pos, outs = 0, []
+    while pos < len(x):
+        n = int(rng.integers(100, 5000))
+        outs.append(sv.feed(x[pos: pos + n]))
+        pos += n
+    outs.append(sv.flush())
+    stream = np.concatenate(outs)
+
+    n = min(len(stream), len(offline))
+    assert n >= len(offline) - 1
+    np.testing.assert_allclose(stream[:n], offline[:n], atol=1e-4)
+
+
+def test_streaming_reset_reproducible():
+    model, variables = _model_and_vars(h=8, layers=1)
+    sv = StreamingVAD(model, variables, block_frames=4, fixed_peak=1.0)
+    x = np.random.default_rng(1).normal(size=16000).astype(np.float32) * 0.1
+    a = np.concatenate([sv.feed(x), sv.flush()])
+    sv.reset()
+    b = np.concatenate([sv.feed(x), sv.flush()])
+    np.testing.assert_array_equal(a, b)
+    assert len(a) > 0 and ((a >= 0) & (a <= 1)).all()
