@@ -9,6 +9,11 @@ sharding for the wide LSTM kernels), and XLA inserts the gradient psum over
 ICI.
 """
 
+from .distributed import (
+    initialize_multihost,
+    local_batch_slice,
+    make_multihost_mesh,
+)
 from .mesh import (
     batch_sharding,
     make_mesh,

@@ -50,13 +50,24 @@ class Trainer:
         eps: float = 1e-8,
         log_interval: int = 1,
         prefetch: bool = True,
+        mesh=None,
     ):
+        """With `mesh`, parameters are placed by the sharding rules and
+        every batch is sharded over the mesh `data` axis — SPMD data
+        parallelism replacing the reference's nn.DataParallel
+        (train_AV_net.py:193). Batch sizes must divide the data axis."""
         self.state = state
         self.modality = modality
         self.model_dir = model_dir
         self.norm_stats = norm_stats
         self.log_interval = log_interval
         self.prefetch = prefetch
+        self.mesh = mesh
+        if mesh is not None:
+            from ..parallel import shard_params
+
+            self.state = state.replace(
+                params=shard_params(mesh, state.params))
         self.train_step = make_train_step(modality, eps)
         self.eval_step = make_eval_step(modality, eps)
         os.makedirs(model_dir, exist_ok=True)
@@ -68,6 +79,19 @@ class Trainer:
             f.write(line + "\n")
 
     def _iter(self, loader: DataLoader):
+        if self.mesh is not None:
+            import jax
+
+            from ..parallel import batch_sharding
+
+            sh = batch_sharding(self.mesh)
+            put = lambda a: jax.device_put(a, sh)  # noqa: E731
+            if self.prefetch:
+                return Prefetcher(loader, put_fn=put)
+            from ..data.batching import Batch
+
+            return (Batch(*[None if a is None else put(a) for a in b])
+                    for b in loader)
         return Prefetcher(loader) if self.prefetch else iter(loader)
 
     def train_epoch(self, loader: DataLoader, epoch: int) -> dict:

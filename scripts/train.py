@@ -53,6 +53,9 @@ def parse_args():
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --model-dir")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    p.add_argument("--data-parallel", type=int, default=0,
+                   help="shard batches over a data-axis mesh of this size "
+                        "(0 = single device; -1 = all devices)")
     return p.parse_args()
 
 
@@ -149,8 +152,15 @@ def main():
             args.pretrained_video, state.params))
         print(f"loaded + froze video trunk from {args.pretrained_video}")
 
+    mesh = None
+    if args.data_parallel:
+        from avvad_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_data=args.data_parallel, n_model=1)
+        print(f"data-parallel mesh over {mesh.devices.size} devices")
+
     trainer = Trainer(state, args.modality, args.model_dir,
-                      norm_stats=norm_stats)
+                      norm_stats=norm_stats, mesh=mesh)
     result = trainer.fit(train_dl, valid_dl, start_epoch=start_epoch,
                          end_epoch=args.epochs + 1)
     print("final:", {k: round(v, 4) for k, v in result.get("valid", {}).items()})
