@@ -86,7 +86,11 @@ class DataLoader:
         if self._length_cache is None:
             self._length_cache = {}
         if i not in self._length_cache:
-            self._length_cache[i] = int(self.source[i]["length"])
+            if hasattr(self.source, "probe_length"):
+                # header-only probe (no feature computation)
+                self._length_cache[i] = int(self.source.probe_length(i))
+            else:
+                self._length_cache[i] = int(self.source[i]["length"])
         return self._length_cache[i]
 
     def __iter__(self) -> Iterator[Batch]:

@@ -88,6 +88,25 @@ class _PairSource:
     def label_rel_path(self, i: int) -> str:
         return self.pairs[i][1]
 
+    def probe_length(self, i: int) -> int:
+        """Approximate frame count of utterance i from the WAV header only —
+        no sample data or feature computation. Used for length-sorted batch
+        packing, where the (rare) off-by-few from label/video truncation
+        only affects packing efficiency, never correctness (pad_batch uses
+        the true per-item lengths)."""
+        import wave
+
+        from ..processing.stft import n_stft_frames
+
+        with wave.open(self.root + self.pairs[i][0], "rb") as w:
+            n = w.getnframes()
+            fs = w.getframerate()
+        return n_stft_frames(
+            n, fs=fs, wlen_sec=self.stft_cfg.wlen_sec,
+            hop_percent=self.stft_cfg.hop_percent,
+            center=self.stft_cfg.center, pad_at_end=self.stft_cfg.pad_at_end,
+        )
+
     def metadata(self, i: int) -> dict:
         return parse_utt_metadata(self.pairs[i][0])
 
