@@ -60,6 +60,8 @@ def evaluate_split(
     (evaluate_AV_net.py:299-339), with XLA doing the scatter/gather.
     `batch_size` must then be a multiple of the data-axis size."""
     predict = make_predict_step(modality, eps)
+    # the writer below re-derives utterance order from the loader's batch
+    # plan, which is only valid unshuffled
     if mesh is not None:
         from ..parallel import shard_batch, shard_params
 
