@@ -99,10 +99,13 @@ def build_video_utterance(args):
                              os.path.splitext(mat_rel)[0] + "_upsampled.h5")
     _write_h5(video_out, "X", video)
 
-    suffix = f"_{cfg.label.kind}_upsampled.h5" if cfg.upsampled_suffix \
-        else f"_{cfg.label.kind}.h5"
+    # The video builder always writes the PLAIN label name (the reference's
+    # create_video_train_files_upsampled.py:272 does too); the audio builder
+    # adds the `_upsampled` variant when configured. Both files coexist in a
+    # fully built tree, serving the video-only and AV pairings respectively.
     label_out = os.path.join(cfg.processed_dir,
-                             os.path.splitext(out_clean_rel)[0] + suffix)
+                             os.path.splitext(out_clean_rel)[0]
+                             + f"_{cfg.label.kind}.h5")
     _write_h5(label_out, "Y", label)
 
     if is_train:

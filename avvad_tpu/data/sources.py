@@ -187,6 +187,13 @@ class VideoSequenceSource:
             dct=self.dct,
             norm_video=self.norm_video,
         )
+        if len(self.video_paths) != len(self.label_paths):
+            raise ValueError(
+                f"video/label catalog mismatch under {self.root} "
+                f"({self.dataset_type}): {len(self.video_paths)} videos vs "
+                f"{len(self.label_paths)} '{self.labels}' label files — the "
+                f"processed tree is incomplete (run scripts/create_train_files.py)"
+            )
 
     def __len__(self):
         return len(self.video_paths)
