@@ -1,0 +1,66 @@
+"""Checkpoint roundtrip: params + optimizer state + norm stats + resume."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avvad_tpu.data.batching import Batch
+from avvad_tpu.models import AudioVAD
+from avvad_tpu.train import (
+    create_train_state,
+    make_train_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+from avvad_tpu.train.checkpoint import latest_checkpoint
+from avvad_tpu.train.state import make_optimizer
+
+
+def _trained_state_and_batch():
+    model = AudioVAD(y_dim=1, lstm_hidden_size=8, lstm_layers=1)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               (jnp.zeros((2, 6, 513)),), make_optimizer(1e-2))
+    batch = Batch(audio=jax.random.normal(jax.random.PRNGKey(1), (2, 6, 513)),
+                  video=None, label=jnp.ones((2, 6, 1)),
+                  lengths=jnp.asarray([6, 6]), mask=jnp.ones((2, 6)))
+    step = make_train_step("audio", donate=False)
+    state, _ = step(state, batch, None)
+    return model, state, batch, step
+
+
+def test_full_roundtrip_including_optimizer(tmp_path):
+    model, state, batch, step = _trained_state_and_batch()
+    path = save_checkpoint(str(tmp_path), state,
+                           {"audio_mean": np.ones((513, 1), np.float32)},
+                           epoch=3, valid_loss=0.51)
+
+    fresh = create_train_state(model, jax.random.PRNGKey(42),
+                               (jnp.zeros((2, 6, 513)),), make_optimizer(1e-2))
+    restored, norm, epoch = restore_checkpoint(path, fresh)
+
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer moments must survive exactly (the reference never saved them)
+    for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                    jax.tree_util.tree_leaves(restored.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert epoch == 3
+    assert norm is not None and "audio_mean" in norm
+
+    # resumed state must step identically to the original
+    s1, m1 = step(state, batch, None)
+    s2, m2 = step(restored, batch, None)
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-6
+
+
+def test_latest_checkpoint_ordering(tmp_path):
+    model, state, _, _ = _trained_state_and_batch()
+    save_checkpoint(str(tmp_path), state, epoch=1, valid_loss=2.0)
+    save_checkpoint(str(tmp_path), state, epoch=10, valid_loss=1.0)
+    save_checkpoint(str(tmp_path), state, epoch=2, valid_loss=0.5)
+    latest = latest_checkpoint(str(tmp_path))
+    assert latest is not None and "epoch_010" in latest
+    assert latest_checkpoint(str(tmp_path / "nonexistent")) is None
