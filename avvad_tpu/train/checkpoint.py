@@ -102,18 +102,43 @@ def restore_checkpoint(path: str, state, with_opt: bool = True):
     return state, norm_stats, epoch
 
 
-def load_pretrained_trunk(path: str, params, trunk_key: str = "tower"):
+def _graft_trunk(tree, src_trunk, trunk_key: str):
+    """Replace tree[trunk_key]['features'] (or tree['features']) with src."""
+    tree = dict(tree)
+    if trunk_key in tree:
+        parent = dict(tree[trunk_key])
+        parent["features"] = src_trunk
+        tree[trunk_key] = parent
+    else:
+        tree["features"] = src_trunk
+    return tree
+
+
+def load_pretrained_trunk(path: str, params, batch_stats=None,
+                          trunk_key: str = "tower"):
     """Copy the video trunk ('features' subtree) from a VideoVAD checkpoint
-    into another model's params — the reference's transfer-learning step
-    (train_AV_net.py:176-187 keeps only 'features.*' keys)."""
+    into another model's variables — the reference's transfer-learning step
+    (train_AV_net.py:176-187 keeps only 'features.*' keys, which in torch
+    includes the BatchNorm running statistics; both params and batch_stats
+    are grafted here accordingly).
+
+    Returns params, or (params, batch_stats) when batch_stats is given."""
+    path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     payload = ckptr.restore(path, target=None)
-    src = payload["params"]
-    # locate the trunk subtree in source and destination
-    src_trunk = src[trunk_key]["features"] if trunk_key in src else src["features"]
-    params = dict(params)
-    dst_parent = dict(params[trunk_key]) if trunk_key in params else params
-    dst_parent["features"] = src_trunk
-    if trunk_key in params:
-        params[trunk_key] = dst_parent
-    return params
+    src_p = payload["params"]
+    src_trunk = src_p[trunk_key]["features"] if trunk_key in src_p \
+        else src_p["features"]
+    params = _graft_trunk(params, src_trunk, trunk_key)
+
+    if batch_stats is None:
+        return params
+    src_bs = payload.get("batch_stats", {})
+    src_bs_trunk = None
+    if trunk_key in src_bs and "features" in src_bs[trunk_key]:
+        src_bs_trunk = src_bs[trunk_key]["features"]
+    elif "features" in src_bs:
+        src_bs_trunk = src_bs["features"]
+    if src_bs_trunk is not None:
+        batch_stats = _graft_trunk(batch_stats, src_bs_trunk, trunk_key)
+    return params, batch_stats

@@ -148,8 +148,9 @@ def main():
             print(f"resumed from {ck} (next epoch {start_epoch})")
 
     if args.pretrained_video:
-        state = state.replace(params=load_pretrained_trunk(
-            args.pretrained_video, state.params))
+        new_params, new_bs = load_pretrained_trunk(
+            args.pretrained_video, state.params, state.batch_stats)
+        state = state.replace(params=new_params, batch_stats=new_bs)
         print(f"loaded + froze video trunk from {args.pretrained_video}")
 
     mesh = None
