@@ -180,6 +180,38 @@ def build_video_split(cfg: BuildConfig, dataset_type: str) -> int:
     return len(args)
 
 
+def build_frame_store(cfg: BuildConfig, dataset_type: str,
+                      out_path: str) -> int:
+    """Pack a split's noisy log-power frames + labels into one h5 frame
+    store (`X_<split>` (513, N), `Y_<split>` (y_dim, N)) — the storage
+    scheme consumed by the legacy framewise/windowed sources
+    (data/sources.py FrameStore family). Returns total frames packed."""
+    pairs = catalog.proc_noisy_clean_pair_dict(
+        cfg.processed_dir, dataset_type, cfg.dataset_size, cfg.label.kind,
+        upsampled=cfg.upsampled_suffix)
+    xs, ys = [], []
+    for noisy_rel, label_rel in pairs.items():
+        x, fs = read_wav(os.path.join(cfg.processed_dir, noisy_rel))
+        spec = log_power_spectrogram(
+            stft(peak_normalize(x), fs=fs, wlen_sec=cfg.stft.wlen_sec,
+                 win=cfg.stft.win, hop_percent=cfg.stft.hop_percent,
+                 center=cfg.stft.center, pad_mode=cfg.stft.pad_mode,
+                 pad_at_end=cfg.stft.pad_at_end),
+            eps=cfg.stft.eps)
+        with h5py.File(os.path.join(cfg.processed_dir, label_rel), "r") as f:
+            label = f["Y"][:]
+        t = min(spec.shape[-1], label.shape[-1])
+        xs.append(spec[:, :t])
+        ys.append(label[:, :t])
+    x_all = np.concatenate(xs, axis=-1) if xs else np.zeros((513, 0), np.float32)
+    y_all = np.concatenate(ys, axis=-1) if ys else np.zeros((1, 0), np.float32)
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with h5py.File(out_path, "w") as f:
+        f.create_dataset(f"X_{dataset_type}", data=x_all, compression="lzf")
+        f.create_dataset(f"Y_{dataset_type}", data=y_all, compression="lzf")
+    return int(x_all.shape[-1])
+
+
 def build_audio_split(cfg: BuildConfig, dataset_type: str) -> int:
     """Copy clean+noisy wavs into processed/, write labels, accumulate the
     noisy log-power-spec statistics on the train split."""

@@ -64,6 +64,30 @@ def test_artifact_formats(built, ref_subset):
             assert "X_train_mean" in f and "X_train_std" in f
 
 
+def test_frame_store_builder(built, tmp_path):
+    """Packed frame store feeds the legacy windowed sources."""
+    from avvad_tpu.builders import BuildConfig, build_frame_store
+    from avvad_tpu.data import SpectrogramChunkSource, SpectrogramFrameSource
+
+    cfg = BuildConfig(raw_dir="unused/", processed_dir=built,
+                      dataset_size="subset", upsampled_suffix=True,
+                      max_workers=0)
+    out = str(tmp_path / "frames.h5")
+    n = build_frame_store(cfg, "train", out)
+    assert n > 300  # 3 utterances x ~150+ frames
+
+    src = SpectrogramFrameSource(out, "train")
+    assert len(src) == n
+    item = src[0]
+    assert item["audio"].shape == (513,)
+    src.close()
+
+    chunks = SpectrogramChunkSource(out, "train", seq_length=64)
+    assert len(chunks) == -(-n // 64)
+    assert chunks[0]["audio"].shape == (64, 513)
+    chunks.close()
+
+
 def test_built_tree_feeds_av_training(built):
     """The self-built tree must load through the live AV source with the
     reference's canonical config (upsampled=True)."""
