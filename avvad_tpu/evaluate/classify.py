@@ -10,8 +10,6 @@ numpy-light)."""
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 
 from ..data.records import load_label

@@ -11,8 +11,6 @@ of its python loops (:298-329).
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

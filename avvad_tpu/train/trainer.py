@@ -14,7 +14,6 @@ import time
 from typing import Optional
 
 import jax
-import numpy as np
 
 from ..data import DataLoader, Prefetcher
 from .checkpoint import save_checkpoint
