@@ -12,6 +12,7 @@ packages/metrics.py capability surface:
 
 from .stats import (
     compute_stats,
+    roc_auc,
     energy_ratios,
     mean_confidence_interval,
     si_sdr_components,

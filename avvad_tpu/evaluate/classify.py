@@ -16,9 +16,9 @@ from ..data.records import load_label
 from ..data.sources import parse_utt_metadata
 from ..models.losses import f1_metrics
 from .predict import prediction_paths
-from .stats import compute_stats
+from .stats import compute_stats, roc_auc
 
-METRIC_KEYS = ("accuracy", "precision", "recall", "f1")
+METRIC_KEYS = ("accuracy", "precision", "recall", "f1", "auc")
 
 
 def compute_metrics_utt(processed_dir: str, classif_data_dir: str,
@@ -40,9 +40,10 @@ def compute_metrics_utt(processed_dir: str, classif_data_dir: str,
             jnp.asarray(y[:t].reshape(t, -1)),
         )
     )
+    auc = roc_auc(y[:t], y_hat_soft[:t].reshape(t, -1))
     meta = parse_utt_metadata(proc_noisy_rel)
     return {"accuracy": acc, "precision": prec, "recall": rec, "f1": f1,
-            "y_hat_soft": y_hat_soft[:t], **meta}
+            "auc": auc, "y_hat_soft": y_hat_soft[:t], **meta}
 
 
 def score_split(source, processed_dir: str, classif_data_dir: str,

@@ -50,6 +50,35 @@ def energy_ratios(s_hat: np.ndarray, s: np.ndarray, n: np.ndarray):
     return si_sdr, si_sir, si_sar
 
 
+def roc_auc(y_true: np.ndarray, y_score: np.ndarray) -> float:
+    """Frame-level ROC-AUC via the rank statistic (ties averaged).
+
+    The upstream paper reports per-condition AUC (Ariav & Cohen 2019,
+    cited at /root/reference/README.md:3-5) but the reference code never
+    computes it; provided here for headline-metric parity with the paper.
+    """
+    y = np.asarray(y_true).ravel() > 0.5
+    s = np.asarray(y_score, dtype=np.float64).ravel()
+    n_pos = int(y.sum())
+    n_neg = y.size - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return float("nan")
+    order = np.argsort(s, kind="mergesort")
+    ranks = np.empty_like(order, dtype=np.float64)
+    ranks[order] = np.arange(1, y.size + 1)
+    # average ranks over score ties
+    sorted_s = s[order]
+    i = 0
+    while i < y.size:
+        j = i
+        while j + 1 < y.size and sorted_s[j + 1] == sorted_s[i]:
+            j += 1
+        if j > i:
+            ranks[order[i : j + 1]] = 0.5 * (i + 1 + j + 1)
+        i = j + 1
+    return float((ranks[y].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg))
+
+
 def _table(metrics: dict, confidence: float, out_lines: list) -> dict:
     stats = {}
     out_lines.append("{:<10} {:<10} {:<10}".format("METRIC", "AVERAGE", "CONF. INT."))

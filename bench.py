@@ -62,16 +62,21 @@ def main():
     out = serve(audio_wave, video)
     jax.block_until_ready(out)
 
-    # Timed steady state, pipelined: keep the dispatch queue full and sync
-    # once, as a real serving loop does. (Per-call block_until_ready costs
-    # ~29 ms of dead tunnel-sync time on this backend and would understate
-    # sustained throughput ~2x.)
+    # Timed steady state, pipelined with a forced data dependency: each
+    # iteration's input depends on the previous output, so the chain cannot
+    # be elided and the final sync covers every step — while the dispatch
+    # queue stays full, as in a real serving loop. (Per-call
+    # block_until_ready costs ~29 ms of dead tunnel-sync time on this
+    # backend and would understate sustained throughput ~2x.)
     n_iters = 20
     best = None
     for _ in range(3):
+        carry = jnp.float32(0.0)
         t0 = time.perf_counter()
-        outs = [serve(audio_wave, video) for _ in range(n_iters)]
-        jax.block_until_ready(outs)
+        for _ in range(n_iters):
+            out = serve(audio_wave + carry * 0.0, video)
+            carry = out[0, 0, 0]
+        jax.block_until_ready(carry)
         dt = (time.perf_counter() - t0) / n_iters
         best = dt if best is None else min(best, dt)
 

@@ -126,3 +126,16 @@ def test_visualization_figures(root, tmp_path):
     import matplotlib.pyplot as plt
 
     plt.close("all")
+
+
+def test_roc_auc_known_values():
+    from avvad_tpu.evaluate import roc_auc
+
+    y = np.array([0, 0, 1, 1])
+    assert roc_auc(y, np.array([0.1, 0.2, 0.8, 0.9])) == 1.0
+    assert roc_auc(y, np.array([0.9, 0.8, 0.2, 0.1])) == 0.0
+    assert roc_auc(y, np.array([0.5, 0.5, 0.5, 0.5])) == 0.5
+    # vs sklearn-style hand check with ties
+    scores = np.array([0.3, 0.5, 0.5, 0.7])
+    assert abs(roc_auc(y, scores) - 0.875) < 1e-9
+    assert np.isnan(roc_auc(np.zeros(4), scores))
