@@ -39,6 +39,8 @@ def parse_args():
     p.add_argument("--lstm-hidden", type=int, default=1024)
     p.add_argument("--lstm-layers", type=int, default=2)
     p.add_argument("--mcb", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--pallas-lstm", action="store_true",
+                   help="use the weight-stationary Pallas LSTM kernel")
     return p.parse_args()
 
 
@@ -58,20 +60,23 @@ def main():
         source = AudioSequenceSource(processed, args.split, args.dataset_size,
                                      args.labels, upsampled=args.upsampled)
         model = AudioVAD(y_dim=y_dim, lstm_hidden_size=args.lstm_hidden,
-                         lstm_layers=args.lstm_layers)
+                         lstm_layers=args.lstm_layers,
+                         use_pallas_lstm=args.pallas_lstm)
         example = (jnp.zeros((1, 8, 513)),)
     elif args.modality == "video":
         source = VideoSequenceSource(processed, args.split, args.labels,
                                      upsampled=args.upsampled)
         model = VideoVAD(y_dim=y_dim, lstm_hidden_size=args.lstm_hidden,
-                         lstm_layers=args.lstm_layers)
+                         lstm_layers=args.lstm_layers,
+                         use_pallas_lstm=args.pallas_lstm)
         example = (jnp.zeros((1, 4, 67, 67)),)
     else:
         source = AudioVisualSource(processed, args.split, args.dataset_size,
                                    args.labels, upsampled=args.upsampled,
                                    video_variant=args.video_variant)
         model = AVVAD(y_dim=y_dim, lstm_hidden_size=args.lstm_hidden,
-                      lstm_layers=args.lstm_layers, use_mcb=args.mcb)
+                      lstm_layers=args.lstm_layers, use_mcb=args.mcb,
+                      use_pallas_lstm=args.pallas_lstm)
         example = (jnp.zeros((1, 4, 513)), jnp.zeros((1, 4, 67, 67)))
 
     print(f"{args.split} utterances: {len(source)}")
