@@ -51,19 +51,75 @@ class BasicBlock(nn.Module):
         return nn.relu(y + residual)
 
 
+def _stem_space_to_depth(x: jax.Array, w: jax.Array, dtype) -> jax.Array:
+    """The 7x7/s2/p3 stem conv, reparameterized as space-to-depth(2) + a
+    4x4/s1 VALID conv (the MLPerf ResNet TPU trick) — mathematically exact.
+
+    The stride-2 7x7 walk decomposes by input-pixel parity: with the input
+    zero-padded to the conv's reach and grouped into 2x2 blocks, each output
+    equals a 4x4 stride-1 conv over the (h/2, w/2, 4*C) parity-grouped
+    input against the 7x7 kernel scattered (zero-padded to 8x8) into the
+    same (tap, parity) layout. Dense stride-1 convs map far better onto the
+    MXU than strided walks over tiny-channel inputs.
+    """
+    n, h, wd, c = x.shape
+    # pad: 3 (conv pad) + enough on bottom/right to reach 2*(out-1)+7 and
+    # land on an even size
+    out_h = (h + 2 * 3 - 7) // 2 + 1
+    out_w = (wd + 2 * 3 - 7) // 2 + 1
+    ph = 2 * (out_h - 1) + 8 - h - 3  # bottom pad so padded size = 2*out+6, even
+    pw = 2 * (out_w - 1) + 8 - wd - 3
+    xp = jnp.pad(x, ((0, 0), (3, ph), (3, pw), (0, 0)))
+    hp, wp = xp.shape[1], xp.shape[2]
+    x2 = xp.reshape(n, hp // 2, 2, wp // 2, 2, c)
+    x2 = x2.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp // 2, wp // 2, 4 * c)
+
+    w8 = jnp.zeros((8, 8, c, w.shape[-1]), dtype=w.dtype).at[:7, :7].set(w)
+    w4 = w8.reshape(4, 2, 4, 2, c, w.shape[-1])
+    w4 = w4.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, w.shape[-1])
+
+    out = jax.lax.conv_general_dilated(
+        x2.astype(dtype), w4.astype(dtype), window_strides=(1, 1),
+        padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out[:, :out_h, :out_w]
+
+
+class _StemS2D(nn.Module):
+    """Drop-in for the stem nn.Conv: same param name ("kernel") and shape
+    (7, 7, C, 64), applied via the space-to-depth reparameterization."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, x.shape[-1], 64)
+        )
+        return _stem_space_to_depth(x, kernel, self.dtype)
+
+
 class ResNet18(nn.Module):
-    """Input (N, H, W, 3) -> (N, 512) pooled features."""
+    """Input (N, H, W, 3) -> (N, 512) pooled features.
+
+    `stem_s2d` switches the stem to the space-to-depth reparameterization
+    (exact; the stored parameter stays the torchvision-shaped 7x7 kernel,
+    so checkpoints are unaffected)."""
 
     stage_sizes: Sequence[int] = (2, 2, 2, 2)
     widths: Sequence[int] = (64, 128, 256, 512)
     dtype: jnp.dtype = jnp.float32
     norm_eps: float = 1e-5
+    stem_s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        if self.stem_s2d:
+            x = _StemS2D(dtype=self.dtype, name="conv1")(x)
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                        use_bias=False, dtype=self.dtype, name="conv1")(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=self.norm_eps, dtype=jnp.float32, name="bn1")(x)
         x = nn.relu(x)

@@ -252,3 +252,28 @@ def test_adaptive_avg_pool_matches_torch():
         torch.from_numpy(x.transpose(0, 2, 1))
     ).numpy().transpose(0, 2, 1)
     np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_stem_space_to_depth_exact():
+    """The s2d-reparameterized stem must match the strided 7x7 conv exactly
+    (same param tree, so checkpoints are interchangeable)."""
+    from avvad_tpu.models import ResNet18
+    from avvad_tpu.models.resnet import _stem_space_to_depth
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 67, 67, 3))
+    base = ResNet18(stem_s2d=False)
+    v = base.init(jax.random.PRNGKey(1), x)
+    y_base = base.apply(v, x)
+    y_s2d = ResNet18(stem_s2d=True).apply(v, x)
+    np.testing.assert_allclose(np.asarray(y_s2d), np.asarray(y_base),
+                               atol=1e-5)
+
+    w = v["params"]["conv1"]["kernel"]
+    for hw in [64, 65, 67]:
+        xi = jax.random.normal(jax.random.PRNGKey(2), (1, hw, hw, 3))
+        ref = jax.lax.conv_general_dilated(
+            xi, w, (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        out = _stem_space_to_depth(xi, w, jnp.float32)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-5)
