@@ -48,6 +48,7 @@ class DataLoader:
         self.num_workers = num_workers
         self.drop_last = drop_last
         self.epoch = 0
+        self._length_cache: dict = {}
 
     def __len__(self) -> int:
         n = len(self.source)
@@ -61,6 +62,12 @@ class DataLoader:
             rng = np.random.default_rng((self.seed, self.epoch))
             rng.shuffle(idx)
         return idx
+
+    def batch_plan(self) -> list[np.ndarray]:
+        """The per-batch source indices this loader will emit (stable for a
+        given (seed, epoch); used by writers that pair outputs back to
+        utterances)."""
+        return self._batch_indices()
 
     def _batch_indices(self) -> list[np.ndarray]:
         idx = self._order()
@@ -80,11 +87,7 @@ class DataLoader:
             batches.pop()
         return batches
 
-    _length_cache: Optional[dict] = None
-
     def _probe_length(self, i: int) -> int:
-        if self._length_cache is None:
-            self._length_cache = {}
         if i not in self._length_cache:
             if hasattr(self.source, "probe_length"):
                 # header-only probe (no feature computation)

@@ -80,7 +80,7 @@ def evaluate_split(
     n_frames = 0
     item_idx = 0
     order = []
-    for b in loader._batch_indices():
+    for b in loader.batch_plan():
         order.extend(int(i) for i in b)
     it = iter(order)
 
