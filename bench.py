@@ -80,7 +80,7 @@ def main():
         for _ in range(n_iters):
             out = serve(audio_wave + carry * 0.0, video)
             carry = out[0, 0, 0]
-        jax.block_until_ready(carry)
+        float(carry)  # value fetch: the only reliable barrier on this backend
         dt = (time.perf_counter() - t0) / n_iters
         best = dt if best is None else min(best, dt)
 
