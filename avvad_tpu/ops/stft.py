@@ -144,6 +144,70 @@ def log_power_frontend(
     return jnp.log(re * re + im * im + eps)
 
 
+@functools.lru_cache(maxsize=8)
+def _inverse_dft_bases(nfft: int) -> tuple[np.ndarray, np.ndarray]:
+    """(n_freq, nfft) bases: time_frame = re @ Mr + im @ Mi (win applied
+    separately). Hermitian-symmetric inverse real DFT (numpy irfft)."""
+    f = nfft // 2 + 1
+    k = np.arange(f, dtype=np.float64)[:, None]
+    n = np.arange(nfft, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * k * n / nfft
+    w = np.full((f, 1), 2.0)
+    w[0] = 1.0
+    w[-1] = 1.0  # nfft even
+    mr = (w * np.cos(ang) / nfft).astype(np.float32)
+    mi = (-(w * np.sin(ang)) / nfft).astype(np.float32)
+    mi[0] = 0.0
+    mi[-1] = 0.0
+    return mr, mi
+
+
+@functools.partial(jax.jit, static_argnames=("fs", "wlen_sec", "hop_percent",
+                                             "center"))
+def istft_frames(
+    re: jax.Array,
+    im: jax.Array,
+    fs: int = 16000,
+    wlen_sec: float = 64e-3,
+    hop_percent: float = 0.25,
+    center: bool = False,
+) -> jax.Array:
+    """On-device inverse STFT twin of processing.stft.istft.
+
+    (T, F) real/imag spectra -> (n_samples,) float32 via inverse-DFT
+    matmuls + windowed overlap-add with NOLA window-square normalization.
+    The reference used librosa.istft for reconstruction tooling
+    (/root/reference/packages/processing/stft.py:63-99); this runs the
+    whole inverse on the TPU.
+    """
+    nfft = int(wlen_sec * fs)
+    hop = int(hop_percent * nfft)
+    t = re.shape[0]
+    mr, mi = (jnp.asarray(b) for b in _inverse_dft_bases(nfft))
+    hp = jax.lax.Precision.HIGHEST
+    frames = (jnp.matmul(re, mr, precision=hp)
+              + jnp.matmul(im, mi, precision=hp))  # (T, nfft)
+    w = hann_window(nfft)
+    wf = frames * w
+
+    n_out = nfft + hop * (t - 1)
+    idx = (np.arange(t)[:, None] * hop + np.arange(nfft)[None, :]).ravel()
+    x = jnp.zeros(n_out, dtype=jnp.float32).at[jnp.asarray(idx)].add(wf.ravel())
+
+    # static window-square normalization (depends only on shapes)
+    win_sq = np.zeros(n_out, dtype=np.float64)
+    win64 = hann_window(nfft).astype(np.float64)
+    for f_i in range(t):
+        win_sq[f_i * hop : f_i * hop + nfft] += win64 * win64
+    nz = win_sq > np.finfo(np.float64).tiny
+    scale = np.where(nz, 1.0 / np.maximum(win_sq, np.finfo(np.float64).tiny), 0.0)
+    x = x * jnp.asarray(scale.astype(np.float32))
+
+    if center:
+        x = x[nfft // 2 : -(nfft // 2)]
+    return x
+
+
 def frame_energy_vad(
     x: jax.Array,
     fs: int = 16000,

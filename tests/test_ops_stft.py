@@ -59,3 +59,32 @@ def test_frame_energy_vad_matches_host(ref_subset):
     ref = clean_speech_VAD(x, fs=fs, hop_percent=0.25, center=False, pad_at_end=True)
     dev = np.asarray(frame_energy_vad(jnp.asarray(x), fs=fs, hop_percent=0.25))
     np.testing.assert_array_equal(dev[None], ref)
+
+
+def test_istft_frames_roundtrip(ref_subset):
+    """Device STFT -> device iSTFT recovers the signal (interior)."""
+    from avvad_tpu.ops.stft import istft_frames
+
+    x, fs = _wav(ref_subset)
+    x = peak_normalize(x)
+    re, im = stft_frames(jnp.asarray(x), fs=fs, hop_percent=0.25)
+    x_rec = np.asarray(istft_frames(re, im, fs=fs, hop_percent=0.25))
+    n = min(len(x), len(x_rec))
+    nfft = 1024
+    np.testing.assert_allclose(x_rec[nfft:n - nfft], x[nfft:n - nfft],
+                               atol=2e-4)
+
+
+def test_istft_frames_matches_host(ref_subset):
+    from avvad_tpu.processing import istft
+    from avvad_tpu.ops.stft import istft_frames
+
+    x, fs = _wav(ref_subset)
+    x = peak_normalize(x)
+    sxx = stft(x, fs=fs, hop_percent=0.25)  # host complex (F, T)
+    host = istft(sxx, fs=fs, hop_percent=0.25)
+    dev = np.asarray(istft_frames(jnp.asarray(sxx.real.T.copy()),
+                                  jnp.asarray(sxx.imag.T.copy()),
+                                  fs=fs, hop_percent=0.25))
+    n = min(len(host), len(dev))
+    np.testing.assert_allclose(dev[:n], host[:n], atol=2e-4)
