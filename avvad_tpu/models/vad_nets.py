@@ -41,16 +41,21 @@ class AudioVAD(nn.Module):
     lstm_layers: int = 2
     dtype: jnp.dtype = jnp.float32
     use_pallas_lstm: bool = False
+    dropout_rate: float = 0.0  # the reference defines Dropout(0.5) but
+    # never enables it (Audio_Net.py:36,58); here it is a working option
 
     def setup(self):
         self.lstm_audio = LSTMStack(self.lstm_hidden_size, self.lstm_layers,
                                     dtype=self.dtype,
                                     use_pallas=self.use_pallas_lstm)
+        self.dropout = nn.Dropout(self.dropout_rate)
         self.vad_audio = nn.Dense(self.y_dim)
 
     def __call__(self, audio: jax.Array, lengths: Optional[jax.Array] = None,
                  train: bool = False) -> jax.Array:
-        return self.vad_audio(self.lstm_audio(audio))
+        x = self.lstm_audio(audio)
+        x = self.dropout(x, deterministic=not train or self.dropout_rate == 0.0)
+        return self.vad_audio(x)
 
     def streaming_head(self, feats: jax.Array, carries):
         """One streaming block: (logits, new_carries)."""
@@ -124,6 +129,7 @@ class VideoVAD(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     use_pallas_lstm: bool = False
+    dropout_rate: float = 0.0  # defined-but-disabled in the reference
 
     @nn.compact
     def __call__(self, video: jax.Array, lengths: Optional[jax.Array] = None,
@@ -137,6 +143,8 @@ class VideoVAD(nn.Module):
             if lengths is None:
                 raise ValueError("return_last requires lengths")
             x = select_last(x, lengths)
+        x = nn.Dropout(self.dropout_rate, name="dropout")(
+            x, deterministic=not train or self.dropout_rate == 0.0)
         return nn.Dense(self.y_dim, name="vad_video")(x)
 
 
@@ -154,6 +162,7 @@ class AVVAD(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     use_pallas_lstm: bool = False
+    dropout_rate: float = 0.0  # reference Dropout(0.05), never enabled
 
     @nn.compact
     def __call__(self, audio: jax.Array, video: jax.Array,
@@ -178,6 +187,8 @@ class AVVAD(nn.Module):
         y = LSTMStack(self.lstm_hidden_size, self.lstm_layers, dtype=self.dtype,
                       use_pallas=self.use_pallas_lstm,
                       name="lstm_merged")(y)
+        y = nn.Dropout(self.dropout_rate, name="dropout")(
+            y, deterministic=not train or self.dropout_rate == 0.0)
         return nn.Dense(self.y_dim, name="vad_merged")(y)
 
 

@@ -56,12 +56,21 @@ def _metrics(logits, batch, loss, eps):
             "recall": rec, "f1": f1}
 
 
-def make_train_step(modality: str, eps: float = 1e-8, donate: bool = True):
-    """-> step(state, batch, norm_stats) -> (state, metrics)."""
+def make_train_step(modality: str, eps: float = 1e-8, donate: bool = True,
+                    dropout: bool = False, dropout_seed: int = 0):
+    """-> step(state, batch, norm_stats) -> (state, metrics).
+
+    `dropout=True` threads a per-step dropout rng (fold of the step count)
+    for models built with dropout_rate > 0."""
 
     @functools.partial(jax.jit, donate_argnums=(0,) if donate else ())
     def train_step(state, batch, norm_stats):
         inputs = _forward_inputs(modality, batch, norm_stats, eps)
+        rngs = (
+            {"dropout": jax.random.fold_in(jax.random.PRNGKey(dropout_seed),
+                                           state.step)}
+            if dropout else {}
+        )
 
         def loss_fn(params):
             variables = {"params": params}
@@ -73,10 +82,12 @@ def make_train_step(modality: str, eps: float = 1e-8, donate: bool = True):
                 variables["sketch"] = state.sketch
             if mutable:
                 logits, new_model_state = state.apply_fn(
-                    variables, *inputs, train=True, mutable=mutable
+                    variables, *inputs, train=True, mutable=mutable,
+                    rngs=rngs,
                 )
             else:
-                logits = state.apply_fn(variables, *inputs, train=True)
+                logits = state.apply_fn(variables, *inputs, train=True,
+                                        rngs=rngs)
                 new_model_state = {}
             loss = masked_sequence_bce(logits, batch.label, batch.mask, eps)
             return loss, (logits, new_model_state)

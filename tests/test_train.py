@@ -133,3 +133,32 @@ def test_batchnorm_updates_in_av_mcb_train_step():
         np.asarray(state.sketch["mcb"]["sketch1"]),
         np.asarray(state2.sketch["mcb"]["sketch1"]),
     )
+
+
+def test_dropout_option_trains_and_randomizes():
+    """dropout_rate>0 + dropout rng: active in train, off at eval."""
+    from avvad_tpu.models import AudioVAD
+    from avvad_tpu.data.batching import Batch
+
+    model = AudioVAD(y_dim=1, lstm_hidden_size=8, lstm_layers=1,
+                     dropout_rate=0.5)
+    audio = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 513))
+    variables = model.init(jax.random.PRNGKey(1), audio)
+    # eval is deterministic
+    y1 = model.apply(variables, audio, train=False)
+    y2 = model.apply(variables, audio, train=False)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+    # train mode with different rngs differs
+    t1 = model.apply(variables, audio, train=True,
+                     rngs={"dropout": jax.random.PRNGKey(2)})
+    t2 = model.apply(variables, audio, train=True,
+                     rngs={"dropout": jax.random.PRNGKey(3)})
+    assert not np.allclose(np.asarray(t1), np.asarray(t2))
+
+    state = create_train_state(model, jax.random.PRNGKey(4), (audio,),
+                               make_optimizer(1e-3))
+    batch = Batch(audio=audio, video=None, label=jnp.ones((2, 6, 1)),
+                  lengths=jnp.asarray([6, 6]), mask=jnp.ones((2, 6)))
+    step = make_train_step("audio", donate=False, dropout=True)
+    state, metrics = step(state, batch, None)
+    assert np.isfinite(float(metrics["loss"]))
