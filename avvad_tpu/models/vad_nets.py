@@ -149,7 +149,8 @@ class VideoVAD(nn.Module):
 
 
 class AVVAD(nn.Module):
-    """Flagship audio-visual model."""
+    """Flagship audio-visual model (setup-style so streaming serving can
+    drive the fusion + LSTM head with carried state)."""
 
     y_dim: int = 1
     lstm_hidden_size: int = 1024
@@ -164,32 +165,51 @@ class AVVAD(nn.Module):
     use_pallas_lstm: bool = False
     dropout_rate: float = 0.0  # reference Dropout(0.05), never enabled
 
-    @nn.compact
-    def __call__(self, audio: jax.Array, video: jax.Array,
-                 lengths: Optional[jax.Array] = None,
-                 train: bool = False) -> jax.Array:
-        v = _VideoTower(dtype=self.dtype, remat=self.remat,
-                        name="tower")(video, train=train)
-
+    def setup(self):
+        self.tower = _VideoTower(dtype=self.dtype, remat=self.remat)
         if self.use_mcb:
-            y = CompactBilinearPooling(
+            self.mcb = CompactBilinearPooling(
                 self.num_audio_features, self.num_video_features,
-                self.mcb_output_size, name="mcb",
-            )(audio, v)
+                self.mcb_output_size)
+            self.mcb_bn = nn.BatchNorm(momentum=0.9, epsilon=self.eps,
+                                       axis=-1)
+        self.lstm_merged = LSTMStack(self.lstm_hidden_size, self.lstm_layers,
+                                     dtype=self.dtype,
+                                     use_pallas=self.use_pallas_lstm)
+        self.dropout = nn.Dropout(self.dropout_rate)
+        self.vad_merged = nn.Dense(self.y_dim)
+
+    def _fuse(self, audio: jax.Array, v: jax.Array, train: bool) -> jax.Array:
+        if self.use_mcb:
+            y = self.mcb(audio, v)
             y = signed_sqrt(y, self.eps)
             y = global_l2_normalize(y)
             # BatchNorm over every (batch, time) position per channel
-            y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=self.eps, axis=-1, name="mcb_bn")(y)
-        else:
-            y = jnp.concatenate([audio, v], axis=-1)
+            return self.mcb_bn(y, use_running_average=not train)
+        return jnp.concatenate([audio, v], axis=-1)
 
-        y = LSTMStack(self.lstm_hidden_size, self.lstm_layers, dtype=self.dtype,
-                      use_pallas=self.use_pallas_lstm,
-                      name="lstm_merged")(y)
-        y = nn.Dropout(self.dropout_rate, name="dropout")(
-            y, deterministic=not train or self.dropout_rate == 0.0)
-        return nn.Dense(self.y_dim, name="vad_merged")(y)
+    def __call__(self, audio: jax.Array, video: jax.Array,
+                 lengths: Optional[jax.Array] = None,
+                 train: bool = False) -> jax.Array:
+        v = self.tower(video, train=train)
+        y = self._fuse(audio, v, train)
+        y = self.lstm_merged(y)
+        y = self.dropout(y, deterministic=not train or self.dropout_rate == 0.0)
+        return self.vad_merged(y)
+
+    def streaming_head(self, audio_feats: jax.Array, video: jax.Array,
+                       carries):
+        """One streaming block: normalized audio features (1, Tc, 513) +
+        raw video frames (1, Tc, 67, 67) -> (logits, new_carries).
+
+        Streaming caveat: the MCB path's global L2 norm is computed per
+        block rather than per utterance (inherent to causality, like the
+        running-peak audio normalization)."""
+        v = self.tower(video, train=False)
+        y = self._fuse(audio_feats, v, train=False)
+        out, new_carries = self.lstm_merged(y, carries=carries,
+                                            return_carries=True)
+        return self.vad_merged(out), new_carries
 
 
 def video_trunk_filter(path: tuple, _value) -> bool:

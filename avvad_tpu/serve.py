@@ -144,3 +144,122 @@ class StreamingVAD:
             self.variables, jnp.asarray(block), jnp.float32(self._peak),
             self._carries)
         return np.asarray(probs)[:n]
+
+
+class StreamingAVVAD:
+    """Stateful streaming audio-visual classifier around an AVVAD checkpoint.
+
+    feed(pcm, video_frames) accepts raw PCM samples and STFT-rate-aligned
+    (62.5 fps) lip frames (T, 67, 67); both buffer independently and a
+    device step fires whenever `block_frames` of BOTH modalities are ready.
+    The fusion + 2x1024 LSTM state carries across blocks. For 30 fps
+    camera input, re-time frames with processing.video.fps_resample_indices
+    before feeding.
+    """
+
+    def __init__(self, model, variables: dict,
+                 norm_stats: Optional[dict] = None,
+                 stft_cfg: STFTConfig = STFTConfig(),
+                 block_frames: int = 16,
+                 fixed_peak: Optional[float] = None):
+        self.model = model
+        self.variables = variables
+        self.cfg = stft_cfg
+        self.block_frames = block_frames
+        self.fixed_peak = fixed_peak
+
+        self._nfft = stft_cfg.nfft
+        self._hop = stft_cfg.hopsamp
+        cos_b, sin_b = _windowed_dft_bases(self._nfft)
+        self._cos, self._sin = jnp.asarray(cos_b), jnp.asarray(sin_b)
+
+        def stat(key):
+            if norm_stats and norm_stats.get(key) is not None:
+                return jnp.asarray(np.asarray(norm_stats[key]).reshape(-1))
+            return None
+
+        self._a_mean, self._a_std = stat("audio_mean"), stat("audio_std")
+        self._v_mean, self._v_std = stat("video_mean"), stat("video_std")
+
+        self._step = self._build_step()
+        self.reset()
+
+    def reset(self) -> None:
+        self._buf = np.zeros(0, dtype=np.float32)
+        self._frames = np.zeros((0, self._nfft), dtype=np.float32)
+        self._vframes = np.zeros((0, 67, 67), dtype=np.float32)
+        self._peak = self.fixed_peak or 0.0
+        h = self.model.lstm_hidden_size
+        self._carries = [(jnp.zeros((1, h)), jnp.zeros((1, h)))
+                         for _ in range(self.model.lstm_layers)]
+
+    def _build_step(self):
+        model = self.model
+        eps = self.cfg.eps
+        cos_b, sin_b = self._cos, self._sin
+        a_mean, a_std = self._a_mean, self._a_std
+        v_mean, v_std = self._v_mean, self._v_std
+        hp = jax.lax.Precision.HIGHEST
+
+        @jax.jit
+        def step(variables, frames, video, peak, carries):
+            x = frames / jnp.maximum(peak, 1e-12)
+            re = jnp.matmul(x, cos_b, precision=hp)
+            im = jnp.matmul(x, sin_b, precision=hp)
+            feats = jnp.log(re * re + im * im + eps)[None]
+            if a_mean is not None:
+                feats = (feats - a_mean) / (a_std + eps)
+            v = video[None]
+            if v_mean is not None:
+                v = (v - v_mean) / (v_std + eps)
+            logits, new_carries = model.apply(
+                variables, feats, v, carries, method=model.streaming_head)
+            return jax.nn.sigmoid(logits[0, :, 0]), new_carries
+
+        return step
+
+    def feed(self, pcm: np.ndarray, video_frames: np.ndarray) -> np.ndarray:
+        """Push synchronized chunks; returns probs of completed frames."""
+        pcm = np.asarray(pcm, dtype=np.float32)
+        if self.fixed_peak is None and pcm.size:
+            self._peak = max(self._peak, float(np.max(np.abs(pcm))))
+        self._buf = np.concatenate([self._buf, pcm])
+        if len(video_frames):
+            self._vframes = np.concatenate(
+                [self._vframes, np.asarray(video_frames, dtype=np.float32)])
+
+        n_new = 1 + (len(self._buf) - self._nfft) // self._hop \
+            if len(self._buf) >= self._nfft else 0
+        if n_new > 0:
+            idx = (np.arange(n_new)[:, None] * self._hop
+                   + np.arange(self._nfft)[None, :])
+            self._frames = np.concatenate([self._frames, self._buf[idx]])
+            self._buf = self._buf[n_new * self._hop:]
+
+        outs = []
+        while (len(self._frames) >= self.block_frames
+               and len(self._vframes) >= self.block_frames):
+            fb = jnp.asarray(self._frames[: self.block_frames])
+            vb = jnp.asarray(self._vframes[: self.block_frames])
+            self._frames = self._frames[self.block_frames:]
+            self._vframes = self._vframes[self.block_frames:]
+            probs, self._carries = self._step(
+                self.variables, fb, vb, jnp.float32(self._peak), self._carries)
+            outs.append(np.asarray(probs))
+        return np.concatenate(outs) if outs else np.zeros(0, dtype=np.float32)
+
+    def flush(self) -> np.ndarray:
+        n = min(len(self._frames), len(self._vframes))
+        if n == 0:
+            return np.zeros(0, dtype=np.float32)
+        pad = self.block_frames - n
+        fb = np.concatenate([self._frames[:n],
+                             np.zeros((pad, self._nfft), np.float32)])
+        vb = np.concatenate([self._vframes[:n],
+                             np.zeros((pad, 67, 67), np.float32)])
+        self._frames = self._frames[:0]
+        self._vframes = self._vframes[:0]
+        probs, self._carries = self._step(
+            self.variables, jnp.asarray(fb), jnp.asarray(vb),
+            jnp.float32(self._peak), self._carries)
+        return np.asarray(probs)[:n]

@@ -63,3 +63,58 @@ def test_streaming_reset_reproducible():
     b = np.concatenate([sv.feed(x), sv.flush()])
     np.testing.assert_array_equal(a, b)
     assert len(a) > 0 and ((a >= 0) & (a <= 1)).all()
+
+
+def test_av_streaming_runs_and_is_deterministic(ref_subset):
+    """Synchronized AV streaming: ragged chunks, reproducible, valid probs.
+
+    (Block-local L2 in the MCB path makes exact offline equality
+    unattainable by design, so this checks the contract rather than
+    bit-parity; the concat-fusion path has no such term.)"""
+    import glob
+
+    from avvad_tpu.data.records import load_video
+    from avvad_tpu.models import AVVAD
+    from avvad_tpu.serve import StreamingAVVAD
+
+    wav = os.path.join(
+        ref_subset, "processed/ntcd_timit/Clean/test/34M/sa1.wav")
+    vid = os.path.join(
+        ref_subset, "processed/ntcd_timit/matlab_raw/test/34M/sa1_upsampled.h5")
+    x, fs = read_wav(wav)
+    frames = load_video(vid)  # (T, 67, 67) at 62.5 fps
+
+    model = AVVAD(y_dim=1, lstm_hidden_size=16, lstm_layers=1, use_mcb=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 513)),
+                           jnp.zeros((1, 4, 67, 67)))
+
+    sv = StreamingAVVAD(model, variables, block_frames=8,
+                        fixed_peak=float(np.max(np.abs(x))))
+    rng = np.random.default_rng(0)
+    pos_a, pos_v, outs = 0, 0, []
+    while pos_a < len(x) or pos_v < len(frames):
+        na = int(rng.integers(500, 4000))
+        nv = int(rng.integers(2, 16))
+        outs.append(sv.feed(x[pos_a:pos_a + na], frames[pos_v:pos_v + nv]))
+        pos_a += na
+        pos_v += nv
+    outs.append(sv.flush())
+    probs = np.concatenate(outs)
+    assert len(probs) > 250
+    assert ((probs >= 0) & (probs <= 1)).all()
+
+    # reproducible after reset
+    sv.reset()
+    again = np.concatenate([sv.feed(x, frames), sv.flush()])
+    n = min(len(probs), len(again))
+    np.testing.assert_allclose(probs[:n], again[:n], atol=1e-5)
+
+    # concat fusion path: streaming matches offline (no block-local terms)
+    from avvad_tpu.ops.stft import log_power_frontend
+
+    t = min(len(frames), 300)
+    feats = log_power_frontend(jnp.asarray(x)[None], fs=fs,
+                               pad_at_end=False)[:, :t]
+    offline = np.asarray(jax.nn.sigmoid(model.apply(
+        variables, feats, jnp.asarray(frames[None, :t]))))[0, :, 0]
+    np.testing.assert_allclose(probs[:t], offline[:t], atol=1e-4)
