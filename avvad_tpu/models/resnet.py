@@ -99,6 +99,25 @@ class _StemS2D(nn.Module):
         return _stem_space_to_depth(x, kernel, self.dtype)
 
 
+class _StemGray(nn.Module):
+    """Stem conv for channel-replicated inputs: (N, H, W, 1) with the
+    (7,7,3,64) kernel summed over its input-channel axis (exact)."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, 3, 64)
+        )
+        k1 = jnp.sum(kernel, axis=2, keepdims=True).astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k1, window_strides=(2, 2),
+            padding=[(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class ResNet18(nn.Module):
     """Input (N, H, W, 3) -> (N, 512) pooled features.
 
@@ -111,11 +130,19 @@ class ResNet18(nn.Module):
     dtype: jnp.dtype = jnp.float32
     norm_eps: float = 1e-5
     stem_s2d: bool = False
+    gray_input: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         x = x.astype(self.dtype)
-        if self.stem_s2d:
+        if self.gray_input:
+            # For channel-replicated grayscale inputs, conv1(repeat(x, 3))
+            # == conv(x_1ch, sum_c W) exactly — collapse the stem to one
+            # input channel and skip materializing the RGB repeat (3x less
+            # stem input bandwidth). Param stays the (7,7,3,64) torchvision
+            # kernel for checkpoint compatibility.
+            x = _StemGray(dtype=self.dtype, name="conv1")(x)
+        elif self.stem_s2d:
             x = _StemS2D(dtype=self.dtype, name="conv1")(x)
         else:
             x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],

@@ -110,15 +110,18 @@ class _VideoTower(nn.Module):
 
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    gray_stem: bool = True  # exact: conv1(repeat(x,3)) == conv(x, sum_c W)
 
     @nn.compact
     def __call__(self, video: jax.Array, train: bool = False) -> jax.Array:
         b, t, h, w = video.shape
         frames = video.reshape(b * t, h, w, 1)
-        frames = jnp.repeat(frames, 3, axis=-1)  # replicate to RGB
+        if not self.gray_stem:
+            frames = jnp.repeat(frames, 3, axis=-1)  # replicate to RGB
         trunk_cls = nn.remat(ResNet18, static_argnums=(2,)) if self.remat \
             else ResNet18
-        feats = trunk_cls(dtype=self.dtype, name="features")(frames, train)
+        feats = trunk_cls(dtype=self.dtype, gray_input=self.gray_stem,
+                          name="features")(frames, train)
         return feats.reshape(b, t, -1)
 
 

@@ -277,3 +277,33 @@ def test_stem_space_to_depth_exact():
         out = _stem_space_to_depth(xi, w, jnp.float32)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=1e-5)
+
+
+def test_gray_stem_exact_vs_rgb_repeat():
+    """conv1 over channel-replicated RGB == 1-channel conv with the kernel
+    summed over input channels — through the full VideoVAD tower."""
+    from avvad_tpu.models import VideoVAD
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 3, 67, 67))
+    model = VideoVAD(y_dim=1, lstm_hidden_size=8, lstm_layers=1)
+    v = model.init(jax.random.PRNGKey(1), x)
+    y_gray = model.apply(v, x)  # default gray_stem=True in the tower
+
+    # force the RGB-repeat path with identical params
+    from avvad_tpu.models.vad_nets import _VideoTower
+    import flax.linen as nn
+
+    class VideoVADRGB(VideoVAD):
+        @nn.compact
+        def __call__(self, video, lengths=None, train=False,
+                     return_last=False):
+            xx = _VideoTower(dtype=self.dtype, gray_stem=False,
+                             name="tower")(video, train=train)
+            from avvad_tpu.models.lstm import LSTMStack
+            xx = LSTMStack(self.lstm_hidden_size, self.lstm_layers,
+                           dtype=self.dtype, name="lstm_video")(xx)
+            return nn.Dense(self.y_dim, name="vad_video")(xx)
+
+    y_rgb = VideoVADRGB(y_dim=1, lstm_hidden_size=8, lstm_layers=1).apply(v, x)
+    np.testing.assert_allclose(np.asarray(y_gray), np.asarray(y_rgb),
+                               atol=1e-5)
