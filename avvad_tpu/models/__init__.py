@@ -24,4 +24,8 @@ from .losses import (
     mean_square_error_signal,
     mean_square_error_mask,
     magnitude_spectrum_approximation_loss,
+    log_sum_exp,
+    onehot,
+    enumerate_discrete,
+    init_normal,
 )

@@ -116,3 +116,44 @@ def log_sum_exp(tensor: jax.Array, axis: int = -1) -> jax.Array:
     """LSE with the reference's +1e-8 stabilizer (utils.py:96-105)."""
     m = jnp.max(tensor, axis=axis, keepdims=True)
     return jnp.log(jnp.sum(jnp.exp(tensor - m), axis=axis, keepdims=True) + 1e-8) + m
+
+
+def onehot(k: int):
+    """1-of-k encoder factory (utils.py:82-94); labels >= k encode to zeros."""
+
+    def encode(label: int) -> jax.Array:
+        y = jnp.zeros(k, dtype=jnp.float32)
+        return y.at[label].set(1.0) if label < k else y
+
+    return encode
+
+
+def enumerate_discrete(x: jax.Array, y_dim: int) -> jax.Array:
+    """All one-hot labels tiled over the batch (utils.py:57-80): returns
+    (y_dim * batch, y_dim) with batch copies of label 0, then label 1, ..."""
+    batch = x.shape[0]
+    eye = jnp.eye(y_dim, dtype=jnp.float32)
+    return jnp.repeat(eye, batch, axis=0)
+
+
+def init_normal(rng: jax.Array, params, mean: float = 0.0, std: float = 0.005):
+    """Re-initialize a params tree with the reference's weights_init_normal
+    policy (utils.py:5-26): linear/conv kernels ~ N(mean, std), norm scales
+    ~ N(1, 0.02), biases zeroed. (The reference's LSTM branch never
+    matched its own class name, so LSTMs keep their default init — same
+    effective behavior here.)"""
+
+    def leaf(path, value):
+        nonlocal rng
+        names = [getattr(p, "key", str(p)) for p in path]
+        leaf_name = names[-1]
+        rng, sub = jax.random.split(rng)
+        if leaf_name == "kernel" and not any("lstm" in n for n in names):
+            return mean + std * jax.random.normal(sub, value.shape, value.dtype)
+        if leaf_name == "scale":
+            return 1.0 + 0.02 * jax.random.normal(sub, value.shape, value.dtype)
+        if leaf_name == "bias" and not any("lstm" in n for n in names):
+            return jnp.zeros_like(value)
+        return value
+
+    return jax.tree_util.tree_map_with_path(leaf, params)

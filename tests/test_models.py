@@ -307,3 +307,28 @@ def test_gray_stem_exact_vs_rgb_repeat():
     y_rgb = VideoVADRGB(y_dim=1, lstm_hidden_size=8, lstm_layers=1).apply(v, x)
     np.testing.assert_allclose(np.asarray(y_gray), np.asarray(y_rgb),
                                atol=1e-5)
+
+
+def test_misc_model_utils():
+    from avvad_tpu.models import enumerate_discrete, init_normal, onehot
+
+    enc = onehot(3)
+    np.testing.assert_array_equal(np.asarray(enc(1)), [0, 1, 0])
+    np.testing.assert_array_equal(np.asarray(enc(5)), [0, 0, 0])
+
+    gen = enumerate_discrete(jnp.zeros((2, 4)), 3)
+    assert gen.shape == (6, 3)
+    np.testing.assert_array_equal(np.asarray(gen[:2]), [[1, 0, 0], [1, 0, 0]])
+
+    from avvad_tpu.models import AudioVAD
+
+    model = AudioVAD(y_dim=1, lstm_hidden_size=8, lstm_layers=1)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 513)))["params"]
+    newp = init_normal(jax.random.PRNGKey(1), params, std=0.005)
+    # dense kernel re-drawn tight around 0; bias zeroed; lstm untouched
+    k = np.asarray(newp["vad_audio"]["kernel"])
+    assert abs(k.mean()) < 0.01 and k.std() < 0.02
+    np.testing.assert_array_equal(np.asarray(newp["vad_audio"]["bias"]), 0)
+    np.testing.assert_array_equal(
+        np.asarray(newp["lstm_audio"]["layer_0"]["w_hh"]),
+        np.asarray(params["lstm_audio"]["layer_0"]["w_hh"]))
