@@ -139,3 +139,28 @@ def test_roc_auc_known_values():
     scores = np.array([0.3, 0.5, 0.5, 0.7])
     assert abs(roc_auc(y, scores) - 0.875) < 1e-9
     assert np.isnan(roc_auc(np.zeros(4), scores))
+
+
+def test_evaluate_split_with_mesh(root, tmp_path):
+    """Mesh-sharded evaluation writes the same predictions as single-device."""
+    from avvad_tpu.parallel import make_mesh
+
+    src = AudioSequenceSource(root, "test", "subset", "vad_labels", upsampled=False)
+    model = AudioVAD(y_dim=1, lstm_hidden_size=16, lstm_layers=1)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               (jnp.zeros((1, 32, 513)),))
+
+    single_dir = str(tmp_path / "single") + os.sep
+    evaluate_split(state, src, "audio", single_dir, batch_size=8,
+                   bucket=64, verbose=False)
+
+    mesh = make_mesh(n_data=8, n_model=1)
+    mesh_dir = str(tmp_path / "mesh") + os.sep
+    evaluate_split(state, src, "audio", mesh_dir, batch_size=8,
+                   bucket=64, verbose=False, mesh=mesh)
+
+    for i in range(len(src)):
+        _, soft_s = prediction_paths(single_dir, src.rel_path(i))
+        _, soft_m = prediction_paths(mesh_dir, src.rel_path(i))
+        np.testing.assert_allclose(np.load(soft_m), np.load(soft_s),
+                                   atol=1e-5)
