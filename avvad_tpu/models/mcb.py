@@ -133,8 +133,9 @@ def signed_sqrt(x: jax.Array, eps: float = 1e-8) -> jax.Array:
     return jnp.sign(x) * jnp.sqrt(jnp.abs(x) + eps)
 
 
-def global_l2_normalize(x: jax.Array) -> jax.Array:
+def global_l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
     """x / ||x||_2 with the norm detached — the reference normalizes by the
-    global (whole-tensor) L2 norm and blocks its gradient (AV_Net.py:117)."""
+    global (whole-tensor) L2 norm and blocks its gradient (AV_Net.py:117).
+    The eps floor guards the all-zero input (where the reference NaNs)."""
     norm = jax.lax.stop_gradient(jnp.sqrt(jnp.sum(x * x)))
-    return x / norm
+    return x / jnp.maximum(norm, eps)
