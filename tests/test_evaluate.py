@@ -164,3 +164,18 @@ def test_evaluate_split_with_mesh(root, tmp_path):
         _, soft_m = prediction_paths(mesh_dir, src.rel_path(i))
         np.testing.assert_allclose(np.load(soft_m), np.load(soft_s),
                                    atol=1e-5)
+
+
+def test_display_multiple_spectro(root, tmp_path):
+    from avvad_tpu.processing import read_wav, stft
+    from avvad_tpu.visualization import display_multiple_spectro
+
+    x, fs = read_wav(os.path.join(root, "ntcd_timit/Clean/test/34M/sa2.wav"))
+    psd = np.abs(stft(x, fs=fs)) ** 2
+    fig = display_multiple_spectro([[x, psd], [None, psd]], fs=fs)
+    out = tmp_path / "spectro.png"
+    fig.savefig(out)
+    assert out.stat().st_size > 10_000
+    import matplotlib.pyplot as plt
+
+    plt.close(fig)

@@ -118,3 +118,20 @@ def test_log_power_spectrogram_finite(ref_subset):
     assert lps.dtype == np.float32
     assert np.isfinite(lps).all()
     assert lps.min() >= np.log(1e-8) - 1e-3
+
+
+def test_istft_max_len_and_write_wav(ref_subset, tmp_path):
+    from avvad_tpu.processing import istft, read_wav, stft, write_wav
+
+    wav = _clean_wavs(ref_subset)[0]
+    x, fs = read_wav(wav)
+    sxx = stft(x, fs=fs)
+    half_sec = 0.5
+    x_rec = istft(sxx, fs=fs, max_len=half_sec)
+    assert len(x_rec) == int(half_sec * fs)
+
+    out = tmp_path / "out.wav"
+    write_wav(str(out), x_rec, fs)
+    x2, fs2 = read_wav(str(out))
+    assert fs2 == fs
+    np.testing.assert_allclose(x2, np.clip(x_rec, -1, 1), atol=1.0 / 32000)

@@ -110,3 +110,17 @@ def test_count_parameters():
 
     params = {"w": np.zeros((3, 4)), "b": np.zeros(4)}
     assert count_parameters(params) == 16
+
+
+def test_profiler_trace_context(tmp_path):
+    import jax.numpy as jnp
+
+    from avvad_tpu.utils import trace
+
+    with trace(str(tmp_path)):
+        (jnp.ones((8, 8)) * 2).block_until_ready()
+    import os
+
+    assert any("plugins" in d for d, _, _ in
+               [(r, d, f) for r, d, f in os.walk(tmp_path)][:10]) or \
+        len(list(tmp_path.iterdir())) > 0
