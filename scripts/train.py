@@ -56,6 +56,9 @@ def parse_args():
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard batches over a data-axis mesh of this size "
                         "(0 = single device; -1 = all devices)")
+    p.add_argument("--trace-dir", default=None,
+                   help="capture a jax.profiler device trace of the first "
+                        "training epoch into this directory")
     return p.parse_args()
 
 
@@ -162,6 +165,13 @@ def main():
 
     trainer = Trainer(state, args.modality, args.model_dir,
                       norm_stats=norm_stats, mesh=mesh)
+    if args.trace_dir:
+        from avvad_tpu.utils import trace
+
+        with trace(args.trace_dir):
+            trainer.train_epoch(train_dl, epoch=start_epoch)
+        print(f"device trace captured in {args.trace_dir}")
+
     result = trainer.fit(train_dl, valid_dl, start_epoch=start_epoch,
                          end_epoch=args.epochs + 1)
     print("final:", {k: round(v, 4) for k, v in result.get("valid", {}).items()})

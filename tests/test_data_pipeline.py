@@ -120,3 +120,33 @@ def test_prefetcher(root):
         assert isinstance(batch.audio, jax.Array)
         seen += batch.batch_size
     assert seen == 3
+
+
+def test_loader_propagates_worker_errors(root):
+    """A failing item read must surface, not hang, through the threaded
+    loader and the prefetcher."""
+    src = AudioSequenceSource(root, "train", "subset", "vad_labels",
+                              upsampled=False)
+    src.pairs[1] = ("ntcd_timit/Noisy/Babble/-5/train/01M/missing.wav",
+                    src.pairs[1][1])
+    dl = DataLoader(src, batch_size=3, shuffle=False, bucket=64)
+    with pytest.raises(Exception):
+        list(dl)
+
+    from avvad_tpu.data import Prefetcher
+
+    dl2 = DataLoader(src, batch_size=3, shuffle=False, bucket=64)
+    with pytest.raises(Exception):
+        for _ in Prefetcher(dl2, depth=1):
+            pass
+
+
+def test_corrupt_h5_raises_cleanly(root, tmp_path):
+    import h5py
+
+    from avvad_tpu.data.records import load_label
+
+    bad = tmp_path / "bad.h5"
+    bad.write_bytes(b"this is not hdf5")
+    with pytest.raises(OSError):
+        load_label(str(bad))
