@@ -62,8 +62,22 @@ def _frame_starts(n_samples: int, nfft: int, hop: int) -> np.ndarray:
 
 
 def frame_signal(x: jax.Array, nfft: int, hop: int) -> jax.Array:
-    """Frame a (..., n) signal into (..., n_frames, nfft) windows via gather."""
+    """Frame a (..., n) signal into (..., n_frames, nfft) windows.
+
+    When hop divides nfft (the canonical 256|1024 case), overlapping frames
+    decompose into `nfft/hop` shifted views of one hop-chunked reshape —
+    pure reshape/slice/concat, no gather: frame[t] = concat_i(chunk[t+i])
+    with chunk[k] = x[k*hop:(k+1)*hop]. Falls back to a static gather for
+    non-dividing hops (e.g. the 30 fps-aligned 533-sample hop)."""
     n = x.shape[-1]
+    n_frames = 1 + (n - nfft) // hop
+    if nfft % hop == 0:
+        r = nfft // hop
+        need = (n_frames - 1 + r) * hop  # == (n_frames-1)*hop + nfft <= n
+        chunks = x[..., :need].reshape(x.shape[:-1] + (n_frames - 1 + r, hop))
+        return jnp.concatenate(
+            [chunks[..., i : i + n_frames, :] for i in range(r)], axis=-1
+        )
     starts = _frame_starts(n, nfft, hop)  # static
     idx = starts[:, None] + np.arange(nfft)[None, :]  # (T, nfft) static
     return x[..., idx]
