@@ -26,7 +26,9 @@ def parse_args():
     p.add_argument("--fps", type=float, default=62.5,
                    help="output frame rate (62.5 = STFT-aligned upsampled)")
     p.add_argument("--predictions-dir", default=None,
-                   help="overlay saved *_y_hat_hard.npy instead of oracle VAD")
+                   help="overlay saved *_y_hat_hard.npy instead of oracle VAD "
+                        "(matlab_raw-keyed layout, as written by "
+                        "scripts/reconstruct.py)")
     p.add_argument("--output-dir", default=None)
     return p.parse_args()
 
