@@ -204,6 +204,11 @@ class VideoSequenceSource:
     def label_rel_path(self, i: int) -> str:
         return self.label_paths[i]
 
+    def probe_length(self, i: int) -> int:
+        """Frame count from h5 metadata only (no data read)."""
+        with h5py.File(self.root + self.video_paths[i], "r") as f:
+            return int(f["X"].shape[-1])
+
     def __getitem__(self, i: int) -> dict:
         video = load_video(self.root + self.video_paths[i])
         label = load_label(self.root + self.label_paths[i])

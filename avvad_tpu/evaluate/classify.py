@@ -48,12 +48,24 @@ def compute_metrics_utt(processed_dir: str, classif_data_dir: str,
 
 def score_split(source, processed_dir: str, classif_data_dir: str,
                 confidence: float = 0.95, save_stats: bool = True,
-                verbose: bool = True) -> dict:
-    """Score every utterance of a source and aggregate grouped stats."""
+                verbose: bool = True, max_workers: int = 0) -> dict:
+    """Score every utterance of a source and aggregate grouped stats.
+
+    `max_workers` > 0 fans the per-utterance scoring out over a thread
+    pool (the reference used a ProcessPoolExecutor here,
+    run_metrics_dnn_classif.py:341-342; h5py/numpy release the GIL)."""
+    args = [(processed_dir, classif_data_dir, source.rel_path(i),
+             source.label_rel_path(i)) for i in range(len(source))]
+    if max_workers:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            metrics = list(pool.map(lambda a: compute_metrics_utt(*a), args))
+    else:
+        metrics = [compute_metrics_utt(*a) for a in args]
+
     rows, snrs, noises, speakers = [], [], [], []
-    for i in range(len(source)):
-        m = compute_metrics_utt(processed_dir, classif_data_dir,
-                                source.rel_path(i), source.label_rel_path(i))
+    for m in metrics:
         rows.append([m[k] for k in METRIC_KEYS])
         snrs.append(float(m["snr_db"]))
         noises.append(m["noise_type"])

@@ -150,3 +150,14 @@ def test_corrupt_h5_raises_cleanly(root, tmp_path):
     bad.write_bytes(b"this is not hdf5")
     with pytest.raises(OSError):
         load_label(str(bad))
+
+
+def test_probe_length_close_to_true_length(root):
+    asrc = AudioSequenceSource(root, "train", "subset", "vad_labels",
+                               upsampled=False)
+    from avvad_tpu.data import VideoSequenceSource
+
+    vsrc = VideoSequenceSource(root, "validation", "vad_labels", upsampled=True)
+    for src in [asrc, vsrc]:
+        for i in range(len(src)):
+            assert abs(src.probe_length(i) - src[i]["length"]) <= 2

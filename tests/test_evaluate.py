@@ -179,3 +179,17 @@ def test_display_multiple_spectro(root, tmp_path):
     import matplotlib.pyplot as plt
 
     plt.close(fig)
+
+
+def test_score_split_parallel_matches_serial(root, tmp_path):
+    src = AudioSequenceSource(root, "test", "subset", "vad_labels", upsampled=False)
+    model = AudioVAD(y_dim=1, lstm_hidden_size=16, lstm_layers=1)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               (jnp.zeros((1, 32, 513)),))
+    d = str(tmp_path / "p") + os.sep
+    evaluate_split(state, src, "audio", d, batch_size=2, bucket=64,
+                   verbose=False)
+    serial = score_split(src, root, d, verbose=False, save_stats=False)
+    parallel = score_split(src, root, d, verbose=False, save_stats=False,
+                           max_workers=4)
+    assert serial["overall"] == parallel["overall"]
