@@ -153,7 +153,10 @@ def test_corrupt_h5_raises_cleanly(root, tmp_path):
 
 
 def test_probe_length_close_to_true_length(root):
-    asrc = AudioSequenceSource(root, "train", "subset", "vad_labels",
+    # use the test split, whose fixture labels are frame-aligned with the
+    # hop-0.25 audio (the train split's labels are an older 30fps vintage,
+    # where the probe is a packing heuristic only)
+    asrc = AudioSequenceSource(root, "test", "subset", "vad_labels",
                                upsampled=False)
     from avvad_tpu.data import VideoSequenceSource
 
