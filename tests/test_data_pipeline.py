@@ -153,14 +153,20 @@ def test_corrupt_h5_raises_cleanly(root, tmp_path):
 
 
 def test_probe_length_close_to_true_length(root):
-    # use the test split, whose fixture labels are frame-aligned with the
-    # hop-0.25 audio (the train split's labels are an older 30fps vintage,
-    # where the probe is a packing heuristic only)
+    # Audio: use the test split, whose fixture labels are frame-aligned
+    # with the hop-0.25 audio (the probe is a packing heuristic, exact only
+    # on consistently built trees).
     asrc = AudioSequenceSource(root, "test", "subset", "vad_labels",
                                upsampled=False)
+    for i in range(len(asrc)):
+        assert abs(asrc.probe_length(i) - asrc[i]["length"]) <= 2
+
+    # Video: the probe reports the video h5's own frame count.
+    import h5py
+
     from avvad_tpu.data import VideoSequenceSource
 
     vsrc = VideoSequenceSource(root, "validation", "vad_labels", upsampled=True)
-    for src in [asrc, vsrc]:
-        for i in range(len(src)):
-            assert abs(src.probe_length(i) - src[i]["length"]) <= 2
+    for i in range(len(vsrc)):
+        with h5py.File(root + vsrc.video_paths[i]) as f:
+            assert vsrc.probe_length(i) == f["X"].shape[-1]
