@@ -18,4 +18,4 @@ from .stats import (
     si_sdr_components,
 )
 from .predict import evaluate_split, prediction_paths, write_predictions
-from .classify import compute_metrics_utt, score_split
+from .classify import compute_metrics_utt, score_split, score_video_split

@@ -22,7 +22,8 @@ METRIC_KEYS = ("accuracy", "precision", "recall", "f1", "auc")
 
 
 def compute_metrics_utt(processed_dir: str, classif_data_dir: str,
-                        proc_noisy_rel: str, label_rel: str) -> dict:
+                        proc_noisy_rel: str, label_rel: str,
+                        parse_meta: bool = True) -> dict:
     """Score one utterance's saved hard predictions against its target."""
     import jax.numpy as jnp
 
@@ -41,9 +42,31 @@ def compute_metrics_utt(processed_dir: str, classif_data_dir: str,
         )
     )
     auc = roc_auc(y[:t], y_hat_soft[:t].reshape(t, -1))
-    meta = parse_utt_metadata(proc_noisy_rel)
+    meta = parse_utt_metadata(proc_noisy_rel) if parse_meta else {}
     return {"accuracy": acc, "precision": prec, "recall": rec, "f1": f1,
             "auc": auc, "y_hat_soft": y_hat_soft[:t], **meta}
+
+
+def score_video_split(source, processed_dir: str, classif_data_dir: str,
+                      confidence: float = 0.95, save_stats: bool = True,
+                      verbose: bool = True) -> dict:
+    """Score matlab_raw-keyed predictions (video-only pipeline, as written
+    by scripts/reconstruct.py) with speaker-grouped stats — the
+    run_metrics_video_classif.py capability (clean video has no SNR/noise
+    axes to group by)."""
+    rows, speakers = [], []
+    for i in range(len(source)):
+        rel = source.rel_path(i)
+        m = compute_metrics_utt(processed_dir, classif_data_dir,
+                                rel, source.label_rel_path(i),
+                                parse_meta=False)
+        rows.append([m[k] for k in METRIC_KEYS])
+        speakers.append(rel.replace(os.sep, "/").split("/")[-2])
+    return compute_stats(
+        METRIC_KEYS, rows,
+        model_data_dir=classif_data_dir if save_stats else None,
+        confidence=confidence, all_speakers=speakers, verbose=verbose,
+    )
 
 
 def score_split(source, processed_dir: str, classif_data_dir: str,

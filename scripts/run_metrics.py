@@ -26,6 +26,9 @@ def parse_args():
     p.add_argument("--figures", action="store_true",
                    help="render wav/spectrogram/mask PNG per utterance")
     p.add_argument("--confidence", type=float, default=0.95)
+    p.add_argument("--video-classif", action="store_true",
+                   help="score matlab_raw-keyed video-net predictions "
+                        "(run_metrics_video_classif.py equivalent)")
     return p.parse_args()
 
 
@@ -41,6 +44,19 @@ def main():
     from avvad_tpu.visualization import display_multiple_signals
 
     processed = os.path.join(args.data_root, args.dataset_size, "processed/")
+    if args.video_classif:
+        from avvad_tpu.data import VideoSequenceSource
+        from avvad_tpu.evaluate import score_video_split
+
+        vsource = VideoSequenceSource(processed, args.split, args.labels,
+                                      upsampled=args.upsampled)
+        print(f"{args.split} utterances: {len(vsource)}")
+        score_video_split(vsource, processed, args.predictions_dir + os.sep,
+                          confidence=args.confidence)
+        print("stats.json ->",
+              os.path.join(args.predictions_dir, "stats.json"))
+        return
+
     source = AudioSequenceSource(processed, args.split, args.dataset_size,
                                  args.labels, upsampled=args.upsampled)
     print(f"{args.split} utterances: {len(source)}")

@@ -193,3 +193,20 @@ def test_score_split_parallel_matches_serial(root, tmp_path):
     parallel = score_split(src, root, d, verbose=False, save_stats=False,
                            max_workers=4)
     assert serial["overall"] == parallel["overall"]
+
+
+def test_score_video_split(root, tmp_path):
+    """matlab_raw-keyed scoring (reconstruct.py layout) with speaker groups."""
+    from avvad_tpu.data import VideoSequenceSource
+    from avvad_tpu.evaluate import score_video_split
+    from avvad_tpu.evaluate.predict import write_predictions
+
+    src = VideoSequenceSource(root, "validation", "vad_labels", upsampled=True)
+    d = str(tmp_path / "vp") + os.sep
+    rng = np.random.default_rng(0)
+    for i in range(len(src)):
+        t = src[i]["length"]
+        write_predictions(d, src.rel_path(i), rng.random(t).astype(np.float32))
+    stats = score_video_split(src, root, d, verbose=False)
+    assert "by_speaker" in stats and "08F" in stats["by_speaker"]
+    assert 0.0 <= stats["overall"]["accuracy"]["avg"] <= 1.0
