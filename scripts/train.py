@@ -26,9 +26,12 @@ from avvad_tpu.utils import enable_compilation_cache
 enable_compilation_cache()
 
 
-def parse_args():
+def build_parser():
     p = argparse.ArgumentParser(description=__doc__,
                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    p.add_argument("--config", default=None,
+                   help="YAML config (avvad_tpu.config.Config); provides "
+                        "defaults that explicit flags override")
     p.add_argument("--modality", choices=["audio", "video", "av"], required=True)
     p.add_argument("--data-root", default="data")
     p.add_argument("--dataset-size", choices=["subset", "complete"], default="subset")
@@ -59,11 +62,40 @@ def parse_args():
     p.add_argument("--trace-dir", default=None,
                    help="capture a jax.profiler device trace of the first "
                         "training epoch into this directory")
-    return p.parse_args()
+    return p
+
+
+def _apply_config_defaults(p, argv=None):
+    """Parse once to find --config, load it, and re-parse with its values
+    as argparse defaults (explicit flags still win)."""
+    pre, _ = p.parse_known_args(argv)
+    if not pre.config:
+        return p.parse_args(argv)
+    from avvad_tpu.config import load_yaml
+
+    cfg = load_yaml(pre.config)
+    p.set_defaults(
+        dataset_size=cfg.data.dataset_size,
+        data_root=cfg.data.data_root,
+        labels=cfg.data.labels,
+        upsampled=cfg.data.upsampled,
+        epochs=cfg.train.end_epoch,
+        start_epoch=cfg.train.start_epoch,
+        batch_size=cfg.train.batch_size,
+        lr=cfg.train.learning_rate,
+        lstm_hidden=cfg.model.lstm_hidden_size,
+        lstm_layers=cfg.model.lstm_layers,
+        mcb=cfg.model.use_mcb,
+        std_norm=cfg.train.std_norm,
+        bucket=cfg.train.bucket_t,
+        seed=cfg.train.seed,
+        dtype=cfg.model.dtype,
+    )
+    return p.parse_args(argv)
 
 
 def main():
-    args = parse_args()
+    args = _apply_config_defaults(build_parser())
     from avvad_tpu.config import LabelConfig
     from avvad_tpu.data import (AudioSequenceSource, AudioVisualSource,
                                 DataLoader, VideoSequenceSource,
