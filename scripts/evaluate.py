@@ -41,6 +41,9 @@ def parse_args():
     p.add_argument("--mcb", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--pallas-lstm", action="store_true",
                    help="use the weight-stationary Pallas LSTM kernel")
+    p.add_argument("--data-parallel", type=int, default=0,
+                   help="shard eval batches over a data-axis mesh of this "
+                        "size (batch-size must divide it)")
     return p.parse_args()
 
 
@@ -86,9 +89,17 @@ def main():
     print(f"restored checkpoint epoch {epoch}; norm stats: "
           f"{sorted(norm_stats) if norm_stats else None}")
 
+    mesh = None
+    if args.data_parallel:
+        from avvad_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_data=args.data_parallel, n_model=1)
+        print(f"eval mesh over {mesh.devices.size} devices")
+
     report = evaluate_split(state, source, args.modality,
                             args.output_dir + os.sep, norm_stats=norm_stats,
-                            batch_size=args.batch_size, bucket=args.bucket)
+                            batch_size=args.batch_size, bucket=args.bucket,
+                            mesh=mesh)
     print(report)
 
 
