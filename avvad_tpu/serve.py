@@ -146,6 +146,107 @@ class StreamingVAD:
         return np.asarray(probs)[:n]
 
 
+class MultiStreamVAD:
+    """N concurrent independent audio streams through ONE jitted step.
+
+    The production server-tick shape: each call to tick() advances every
+    stream that has a full frame block ready; streams without enough
+    buffered frames are padded and their LSTM carries are mask-restored, so
+    per-stream results are bit-identical to running each stream alone.
+    Batching the recurrence across streams fills MXU rows that a single
+    stream leaves idle.
+    """
+
+    def __init__(self, model: AudioVAD, variables: dict, n_streams: int,
+                 norm_stats: Optional[dict] = None,
+                 stft_cfg: STFTConfig = STFTConfig(),
+                 block_frames: int = 16):
+        self.model = model
+        self.variables = variables
+        self.n = n_streams
+        self.cfg = stft_cfg
+        self.block_frames = block_frames
+        self._nfft = stft_cfg.nfft
+        self._hop = stft_cfg.hopsamp
+        cos_b, sin_b = _windowed_dft_bases(self._nfft)
+        self._cos, self._sin = jnp.asarray(cos_b), jnp.asarray(sin_b)
+        if norm_stats and norm_stats.get("audio_mean") is not None:
+            self._mean = jnp.asarray(np.asarray(norm_stats["audio_mean"]).reshape(-1))
+            self._std = jnp.asarray(np.asarray(norm_stats["audio_std"]).reshape(-1))
+        else:
+            self._mean = self._std = None
+        self._step = self._build_step()
+        self.reset()
+
+    def reset(self) -> None:
+        self._bufs = [np.zeros(0, np.float32) for _ in range(self.n)]
+        self._frames = [np.zeros((0, self._nfft), np.float32)
+                        for _ in range(self.n)]
+        self._peaks = np.zeros(self.n, np.float32)
+        h = self.model.lstm_hidden_size
+        self._carries = [(jnp.zeros((self.n, h)), jnp.zeros((self.n, h)))
+                         for _ in range(self.model.lstm_layers)]
+
+    def _build_step(self):
+        model = self.model
+        eps = self.cfg.eps
+        cos_b, sin_b, mean, std = self._cos, self._sin, self._mean, self._std
+        hp = jax.lax.Precision.HIGHEST
+
+        @jax.jit
+        def step(variables, frames, peaks, active, carries):
+            # frames (N, block, nfft); peaks (N,); active (N,) float
+            x = frames / jnp.maximum(peaks, 1e-12)[:, None, None]
+            re = jnp.matmul(x, cos_b, precision=hp)
+            im = jnp.matmul(x, sin_b, precision=hp)
+            feats = jnp.log(re * re + im * im + eps)
+            if mean is not None:
+                feats = (feats - mean) / (std + eps)
+            logits, new_carries = model.apply(variables, feats, carries,
+                                              method=model.streaming_head)
+            # restore carries of inactive (padded) streams
+            a = active[:, None]
+            masked = [(a * hn + (1 - a) * ho, a * cn + (1 - a) * co)
+                      for (hn, cn), (ho, co) in zip(new_carries, carries)]
+            return jax.nn.sigmoid(logits[..., 0]), masked
+
+        return step
+
+    def feed(self, stream_idx: int, pcm: np.ndarray) -> None:
+        """Buffer samples for one stream (no compute)."""
+        pcm = np.asarray(pcm, dtype=np.float32)
+        if pcm.size:
+            self._peaks[stream_idx] = max(self._peaks[stream_idx],
+                                          float(np.max(np.abs(pcm))))
+        buf = np.concatenate([self._bufs[stream_idx], pcm])
+        if len(buf) >= self._nfft:
+            n_new = 1 + (len(buf) - self._nfft) // self._hop
+            idx = (np.arange(n_new)[:, None] * self._hop
+                   + np.arange(self._nfft)[None, :])
+            self._frames[stream_idx] = np.concatenate(
+                [self._frames[stream_idx], buf[idx]])
+            buf = buf[n_new * self._hop:]
+        self._bufs[stream_idx] = buf
+
+    def tick(self) -> dict:
+        """Advance every stream with >= block_frames buffered; returns
+        {stream_idx: probs} for the streams that produced output."""
+        bf = self.block_frames
+        active = np.asarray([len(f) >= bf for f in self._frames], np.float32)
+        if not active.any():
+            return {}
+        blocks = np.zeros((self.n, bf, self._nfft), np.float32)
+        for i in range(self.n):
+            if active[i]:
+                blocks[i] = self._frames[i][:bf]
+                self._frames[i] = self._frames[i][bf:]
+        probs, self._carries = self._step(
+            self.variables, jnp.asarray(blocks), jnp.asarray(self._peaks),
+            jnp.asarray(active), self._carries)
+        probs = np.asarray(probs)
+        return {i: probs[i] for i in range(self.n) if active[i]}
+
+
 class StreamingAVVAD:
     """Stateful streaming audio-visual classifier around an AVVAD checkpoint.
 

@@ -118,3 +118,40 @@ def test_av_streaming_runs_and_is_deterministic(ref_subset):
     offline = np.asarray(jax.nn.sigmoid(model.apply(
         variables, feats, jnp.asarray(frames[None, :t]))))[0, :, 0]
     np.testing.assert_allclose(probs[:t], offline[:t], atol=1e-4)
+
+
+def test_multistream_matches_solo_streams(ref_subset):
+    """Each stream of MultiStreamVAD must match a solo StreamingVAD run
+    bit-for-bit, despite streams of different lengths sharing the step."""
+    import glob
+
+    from avvad_tpu.serve import MultiStreamVAD
+
+    wavs = sorted(glob.glob(os.path.join(
+        ref_subset, "processed/ntcd_timit/Clean/**/*.wav"), recursive=True))[:3]
+    signals = [read_wav(w)[0] for w in wavs]
+
+    model, variables = _model_and_vars(h=8, layers=2)
+
+    solo_outs = []
+    for x in signals:
+        sv = StreamingVAD(model, variables, block_frames=8,
+                          fixed_peak=float(np.max(np.abs(x))))
+        solo_outs.append(np.concatenate([sv.feed(x), sv.flush()]))
+
+    ms = MultiStreamVAD(model, variables, n_streams=3, block_frames=8)
+    for i, x in enumerate(signals):
+        ms.feed(i, x)  # peak becomes the global max, like fixed_peak above
+    collected = [[] for _ in range(3)]
+    while True:
+        out = ms.tick()
+        if not out:
+            break
+        for i, p in out.items():
+            collected[i].append(p)
+
+    for i in range(3):
+        got = np.concatenate(collected[i])
+        want = solo_outs[i][: len(got)]
+        assert len(got) >= len(solo_outs[i]) - 8  # tail < one block differs
+        np.testing.assert_allclose(got, want, atol=1e-5)
