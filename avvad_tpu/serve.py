@@ -228,9 +228,14 @@ class MultiStreamVAD:
             buf = buf[n_new * self._hop:]
         self._bufs[stream_idx] = buf
 
-    def tick(self) -> dict:
+    def tick(self, fetch: bool = True) -> dict:
         """Advance every stream with >= block_frames buffered; returns
-        {stream_idx: probs} for the streams that produced output."""
+        {stream_idx: probs} for the streams that produced output.
+
+        `fetch=False` returns device arrays without synchronizing — the
+        device pipeline stays full across ticks (fetching each tick costs
+        ~29 ms of dead sync time on this backend); convert results with
+        np.asarray whenever convenient."""
         bf = self.block_frames
         active = np.asarray([len(f) >= bf for f in self._frames], np.float32)
         if not active.any():
@@ -243,7 +248,8 @@ class MultiStreamVAD:
         probs, self._carries = self._step(
             self.variables, jnp.asarray(blocks), jnp.asarray(self._peaks),
             jnp.asarray(active), self._carries)
-        probs = np.asarray(probs)
+        if fetch:
+            probs = np.asarray(probs)
         return {i: probs[i] for i in range(self.n) if active[i]}
 
 
