@@ -2,6 +2,7 @@
 
 from .profiling import PhaseTimer, trace
 from .torch_import import (
+    import_reference_avvad,
     import_torch_lstm,
     import_torch_resnet18,
     load_torch_state_dict,

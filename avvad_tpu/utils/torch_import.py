@@ -106,3 +106,67 @@ def import_torch_linear(state: dict, prefix: str):
     if f"{prefix}.bias" in state:
         p["bias"] = state[f"{prefix}.bias"]
     return p
+
+
+def _bn1d(state: dict, prefix: str):
+    return (
+        {"scale": state[f"{prefix}.weight"], "bias": state[f"{prefix}.bias"]},
+        {"mean": state[f"{prefix}.running_mean"],
+         "var": state[f"{prefix}.running_var"]},
+    )
+
+
+def import_reference_avvad(state: dict, model, variables: dict) -> dict:
+    """Assemble a full DeepVAD_AV torch state_dict into AVVAD variables.
+
+    Maps every reference parameter group
+    (/root/reference/packages/models/AV_Net.py:12-141):
+      features.*            -> params/batch_stats tower.features (ResNet trunk)
+      lstm_merged.*         -> params lstm_merged (gate-order-compatible)
+      vad_merged.*          -> params vad_merged
+      mcb.sketch{1,2}.{h,s} -> sketch collection (dense sign matrices)
+      mcb_bn.*              -> params/batch_stats mcb_bn
+    `variables` (from model.init) supplies the target tree; returns a new
+    variables dict ready for model.apply.
+    """
+    from ..models.mcb import sketch_matrix_from_hs
+
+    params = dict(variables["params"])
+    batch_stats = dict(variables.get("batch_stats", {}))
+    sketch = dict(variables.get("sketch", {}))
+
+    # video trunk
+    trunk_p, trunk_bs = import_torch_resnet18(state, prefix="features.")
+    tower_p = dict(params["tower"])
+    tower_p["features"] = trunk_p
+    params["tower"] = tower_p
+    if "tower" in batch_stats:
+        tower_bs = dict(batch_stats["tower"])
+        tower_bs["features"] = trunk_bs
+        batch_stats["tower"] = tower_bs
+
+    # merged LSTM + head
+    params["lstm_merged"] = import_torch_lstm(
+        params["lstm_merged"], state, prefix="lstm_merged")
+    params["vad_merged"] = import_torch_linear(state, "vad_merged")
+
+    # MCB buffers + batch norm
+    if model.use_mcb:
+        sketch["mcb"] = {
+            "sketch1": sketch_matrix_from_hs(
+                state["mcb.sketch1.h"], state["mcb.sketch1.s"],
+                model.mcb_output_size),
+            "sketch2": sketch_matrix_from_hs(
+                state["mcb.sketch2.h"], state["mcb.sketch2.s"],
+                model.mcb_output_size),
+        }
+        bn_p, bn_bs = _bn1d(state, "mcb_bn")
+        params["mcb_bn"] = bn_p
+        batch_stats["mcb_bn"] = bn_bs
+
+    out = {"params": params}
+    if batch_stats:
+        out["batch_stats"] = batch_stats
+    if sketch:
+        out["sketch"] = sketch
+    return out

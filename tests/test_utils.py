@@ -124,3 +124,84 @@ def test_profiler_trace_context(tmp_path):
     assert any("plugins" in d for d, _, _ in
                [(r, d, f) for r, d, f in os.walk(tmp_path)][:10]) or \
         len(list(tmp_path.iterdir())) > 0
+
+
+def test_import_reference_avvad_full_checkpoint():
+    """A complete DeepVAD_AV-shaped torch state dict assembles into AVVAD
+    variables (trunk + BN stats + LSTM + head + MCB buffers) and runs."""
+    import jax.numpy as jnp
+
+    from avvad_tpu.models import AVVAD
+    from avvad_tpu.utils import import_reference_avvad
+
+    rng = np.random.default_rng(0)
+    h, y_dim, mcb_out = 32, 1, 64
+    state = _fake_torchvision_resnet18_state(rng)
+
+    def lstm_keys(prefix, d, hh, layers=2):
+        for layer in range(layers):
+            din = d if layer == 0 else hh
+            state[f"{prefix}.weight_ih_l{layer}"] = rng.normal(
+                size=(4 * hh, din)).astype(np.float32) * 0.05
+            state[f"{prefix}.weight_hh_l{layer}"] = rng.normal(
+                size=(4 * hh, hh)).astype(np.float32) * 0.05
+            state[f"{prefix}.bias_ih_l{layer}"] = rng.normal(
+                size=4 * hh).astype(np.float32) * 0.05
+            state[f"{prefix}.bias_hh_l{layer}"] = rng.normal(
+                size=4 * hh).astype(np.float32) * 0.05
+
+    lstm_keys("lstm_merged", mcb_out, h)
+    state["vad_merged.weight"] = rng.normal(size=(y_dim, h)).astype(np.float32)
+    state["vad_merged.bias"] = rng.normal(size=y_dim).astype(np.float32)
+    state["mcb.sketch1.h"] = rng.integers(0, mcb_out, 513)
+    state["mcb.sketch1.s"] = (rng.integers(0, 2, 513) * 2 - 1).astype(np.float32)
+    state["mcb.sketch2.h"] = rng.integers(0, mcb_out, 512)
+    state["mcb.sketch2.s"] = (rng.integers(0, 2, 512) * 2 - 1).astype(np.float32)
+    state["mcb_bn.weight"] = np.ones(mcb_out, np.float32)
+    state["mcb_bn.bias"] = np.zeros(mcb_out, np.float32)
+    state["mcb_bn.running_mean"] = np.zeros(mcb_out, np.float32)
+    state["mcb_bn.running_var"] = np.ones(mcb_out, np.float32)
+
+    model = AVVAD(y_dim=y_dim, lstm_hidden_size=h, lstm_layers=2,
+                  use_mcb=True, mcb_output_size=mcb_out)
+    audio = jnp.asarray(rng.normal(size=(1, 3, 513)).astype(np.float32))
+    video = jnp.asarray(rng.normal(size=(1, 3, 67, 67)).astype(np.float32))
+    init_vars = model.init(jax.random.PRNGKey(0), audio, video)
+
+    variables = import_reference_avvad(state, model, init_vars)
+    # same tree structure as init (checkpoint-compatible)
+    assert jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(jnp.asarray, variables["params"])
+    ) == jax.tree_util.tree_structure(init_vars["params"])
+
+    # sketch matrices reproduce (h, s)
+    m1 = np.asarray(variables["sketch"]["mcb"]["sketch1"])
+    hh = state["mcb.sketch1.h"]
+    assert (m1[np.arange(513), hh] == state["mcb.sketch1.s"]).all()
+    assert (np.abs(m1).sum(axis=1) == 1).all()
+
+    y = model.apply(variables, audio, video)
+    assert y.shape == (1, 3, 1)
+    assert np.isfinite(np.asarray(y)).all()
+
+    # the imported LSTM+head must match torch on the fused features
+    import torch
+
+    feats = rng.normal(size=(1, 3, mcb_out)).astype(np.float32)
+    t_lstm = torch.nn.LSTM(mcb_out, h, num_layers=2, batch_first=True)
+    t_lin = torch.nn.Linear(h, y_dim)
+    with torch.no_grad():
+        for k, v in t_lstm.state_dict().items():
+            v.copy_(torch.from_numpy(state[f"lstm_merged.{k}"]))
+        t_lin.weight.copy_(torch.from_numpy(state["vad_merged.weight"]))
+        t_lin.bias.copy_(torch.from_numpy(state["vad_merged.bias"]))
+        ref_out = t_lin(t_lstm(torch.from_numpy(feats))[0]).numpy()
+
+    from avvad_tpu.models import LSTMStack
+    import flax.linen as fnn
+
+    ours = LSTMStack(hidden_size=h, num_layers=2).apply(
+        {"params": variables["params"]["lstm_merged"]}, jnp.asarray(feats))
+    ours = fnn.Dense(y_dim).apply(
+        {"params": variables["params"]["vad_merged"]}, ours)
+    np.testing.assert_allclose(np.asarray(ours), ref_out, atol=1e-5)
