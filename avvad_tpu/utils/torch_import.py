@@ -116,6 +116,42 @@ def _bn1d(state: dict, prefix: str):
     )
 
 
+def import_reference_audio_vad(state: dict, variables: dict) -> dict:
+    """DeepVAD_audio torch state dict -> AudioVAD variables
+    (lstm_audio.* + vad_audio.*; Audio_Net.py:30-35)."""
+    params = dict(variables["params"])
+    params["lstm_audio"] = import_torch_lstm(
+        params["lstm_audio"], state, prefix="lstm_audio")
+    params["vad_audio"] = import_torch_linear(state, "vad_audio")
+    return {"params": params, **{k: v for k, v in variables.items()
+                                 if k != "params"}}
+
+
+def import_reference_video_vad(state: dict, variables: dict) -> dict:
+    """DeepVAD_video torch state dict -> VideoVAD variables
+    (features.* trunk + lstm_video.* + vad_video.*; Video_Net.py:35-51)."""
+    params = dict(variables["params"])
+    batch_stats = dict(variables.get("batch_stats", {}))
+
+    trunk_p, trunk_bs = import_torch_resnet18(state, prefix="features.")
+    tower_p = dict(params["tower"])
+    tower_p["features"] = trunk_p
+    params["tower"] = tower_p
+    if "tower" in batch_stats:
+        tower_bs = dict(batch_stats["tower"])
+        tower_bs["features"] = trunk_bs
+        batch_stats["tower"] = tower_bs
+
+    params["lstm_video"] = import_torch_lstm(
+        params["lstm_video"], state, prefix="lstm_video")
+    params["vad_video"] = import_torch_linear(state, "vad_video")
+
+    out = {"params": params}
+    if batch_stats:
+        out["batch_stats"] = batch_stats
+    return out
+
+
 def import_reference_avvad(state: dict, model, variables: dict) -> dict:
     """Assemble a full DeepVAD_AV torch state_dict into AVVAD variables.
 

@@ -205,3 +205,48 @@ def test_import_reference_avvad_full_checkpoint():
     ours = fnn.Dense(y_dim).apply(
         {"params": variables["params"]["vad_merged"]}, ours)
     np.testing.assert_allclose(np.asarray(ours), ref_out, atol=1e-5)
+
+
+def test_import_reference_audio_and_video_vad():
+    import jax.numpy as jnp
+
+    from avvad_tpu.models import AudioVAD, VideoVAD
+    from avvad_tpu.utils import (import_reference_audio_vad,
+                                 import_reference_video_vad)
+
+    rng = np.random.default_rng(3)
+    h = 16
+    # audio
+    state = {}
+    for layer in range(2):
+        din = 513 if layer == 0 else h
+        state[f"lstm_audio.weight_ih_l{layer}"] = rng.normal(size=(4*h, din)).astype(np.float32) * 0.05
+        state[f"lstm_audio.weight_hh_l{layer}"] = rng.normal(size=(4*h, h)).astype(np.float32) * 0.05
+        state[f"lstm_audio.bias_ih_l{layer}"] = np.zeros(4*h, np.float32)
+        state[f"lstm_audio.bias_hh_l{layer}"] = np.zeros(4*h, np.float32)
+    state["vad_audio.weight"] = rng.normal(size=(1, h)).astype(np.float32)
+    state["vad_audio.bias"] = np.zeros(1, np.float32)
+
+    model = AudioVAD(y_dim=1, lstm_hidden_size=h, lstm_layers=2)
+    x = jnp.asarray(rng.normal(size=(1, 4, 513)).astype(np.float32))
+    variables = import_reference_audio_vad(state, model.init(jax.random.PRNGKey(0), x))
+    np.testing.assert_array_equal(
+        np.asarray(variables["params"]["lstm_audio"]["layer_0"]["w_ih"]),
+        state["lstm_audio.weight_ih_l0"].T)
+    assert np.isfinite(np.asarray(model.apply(variables, x))).all()
+
+    # video
+    vstate = _fake_torchvision_resnet18_state(rng)
+    for layer in range(1):
+        vstate[f"lstm_video.weight_ih_l{layer}"] = rng.normal(size=(4*h, 512)).astype(np.float32) * 0.05
+        vstate[f"lstm_video.weight_hh_l{layer}"] = rng.normal(size=(4*h, h)).astype(np.float32) * 0.05
+        vstate[f"lstm_video.bias_ih_l{layer}"] = np.zeros(4*h, np.float32)
+        vstate[f"lstm_video.bias_hh_l{layer}"] = np.zeros(4*h, np.float32)
+    vstate["vad_video.weight"] = rng.normal(size=(1, h)).astype(np.float32)
+    vstate["vad_video.bias"] = np.zeros(1, np.float32)
+
+    vmodel = VideoVAD(y_dim=1, lstm_hidden_size=h, lstm_layers=1)
+    v = jnp.asarray(rng.normal(size=(1, 2, 67, 67)).astype(np.float32))
+    vv = import_reference_video_vad(vstate, vmodel.init(jax.random.PRNGKey(1), v))
+    y = vmodel.apply(vv, v)
+    assert y.shape == (1, 2, 1) and np.isfinite(np.asarray(y)).all()
