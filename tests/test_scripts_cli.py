@@ -12,6 +12,7 @@ SCRIPTS = [
     "scripts/run_metrics.py",
     "scripts/create_train_files.py",
     "scripts/reconstruct.py",
+    "scripts/import_checkpoint.py",
     "scripts/stream_demo.py",
     "scripts/visualization_audio.py",
     "scripts/visualization_video.py",
