@@ -17,8 +17,11 @@ from .distributed import (
 from .mesh import (
     batch_sharding,
     make_mesh,
+    opt_sharding_tree,
     param_sharding_rules,
     replicated,
     shard_batch,
+    shard_opt_state,
     shard_params,
+    sharding_tree,
 )

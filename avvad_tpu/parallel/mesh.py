@@ -92,3 +92,28 @@ def sharding_tree(mesh: Mesh, variables):
         lambda path, value: NamedSharding(mesh, param_sharding_rules(path, value)),
         variables,
     )
+
+
+def shard_opt_state(mesh: Mesh, opt_state):
+    """device_put optimizer state with moments placed like their params.
+
+    Adam's `mu`/`nu` subtrees mirror the param tree, so each moment leaf's
+    path ends in the same key names (`w_ih`, `w_hh`, ...) that
+    `param_sharding_rules` dispatches on — applying the rules to the
+    opt-state paths directly places every moment with the same PartitionSpec
+    as its parameter (scalars like `count` fall through to replicated).
+    """
+
+    def put(path, value):
+        spec = param_sharding_rules(path, value)
+        return jax.device_put(value, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(put, opt_state)
+
+
+def opt_sharding_tree(mesh: Mesh, opt_state):
+    """The NamedSharding pytree matching shard_opt_state (for jit specs)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, value: NamedSharding(mesh, param_sharding_rules(path, value)),
+        opt_state,
+    )

@@ -63,10 +63,11 @@ class Trainer:
         self.prefetch = prefetch
         self.mesh = mesh
         if mesh is not None:
-            from ..parallel import shard_params
+            from ..parallel import shard_opt_state, shard_params
 
             self.state = state.replace(
-                params=shard_params(mesh, state.params))
+                params=shard_params(mesh, state.params),
+                opt_state=shard_opt_state(mesh, state.opt_state))
         self.train_step = make_train_step(modality, eps)
         self.eval_step = make_eval_step(modality, eps)
         os.makedirs(model_dir, exist_ok=True)

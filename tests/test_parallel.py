@@ -63,6 +63,89 @@ def test_tp_sharding_rules_target_wide_lstm_kernels():
     assert spec_other == jax.sharding.PartitionSpec()
 
 
+def test_dp_tp_step_matches_single_device():
+    """dp4 x tp2 mesh: the `model`-axis sharded step must agree numerically
+    with the unsharded step (TP correctness, not just shape validity)."""
+    from avvad_tpu.data.batching import Batch
+    from avvad_tpu.models import AudioVAD
+    from avvad_tpu.train import create_train_state, make_train_step
+
+    b, t = 8, 12
+    # hidden 512 -> 4H = 2048 = _TP_MIN_COLS, so w_ih/w_hh actually shard.
+    model = AudioVAD(y_dim=1, lstm_hidden_size=512, lstm_layers=2)
+    rng = jax.random.PRNGKey(0)
+    audio = jax.random.normal(rng, (b, t, 513))
+    label = (jax.random.uniform(rng, (b, t, 1)) > 0.5).astype(jnp.float32)
+    batch = Batch(audio=audio, video=None, label=label,
+                  lengths=jnp.full((b,), t, dtype=jnp.int32),
+                  mask=jnp.ones((b, t)))
+
+    state = create_train_state(model, rng, (audio,))
+    step = make_train_step("audio", donate=False)
+    new_single, metrics_single = step(state, batch, None)
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    from avvad_tpu.parallel import shard_opt_state
+
+    with mesh:
+        state_sh = state.replace(
+            params=shard_params(mesh, state.params),
+            opt_state=shard_opt_state(mesh, state.opt_state))
+        batch_sh = shard_batch(mesh, batch)
+        new_sharded, metrics_sharded = step(state_sh, batch_sh, None)
+
+    np.testing.assert_allclose(float(metrics_single["loss"]),
+                               float(metrics_sharded["loss"]), rtol=1e-5)
+    # updated params agree leaf-for-leaf, including the TP-sharded kernels
+    flat_a = jax.tree_util.tree_leaves(new_single.params)
+    flat_b = jax.tree_util.tree_leaves(new_sharded.params)
+    for a, bb in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(bb),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_opt_state_moments_carry_param_sharding():
+    """Adam mu/nu for a TP-sharded kernel must carry the same PartitionSpec
+    as the kernel itself — not be left replicated/unsharded."""
+    from avvad_tpu.models import AudioVAD
+    from avvad_tpu.parallel import shard_opt_state
+    from avvad_tpu.train import create_train_state
+
+    model = AudioVAD(y_dim=1, lstm_hidden_size=512, lstm_layers=1)
+    rng = jax.random.PRNGKey(0)
+    audio = jax.random.normal(rng, (2, 4, 513))
+    state = create_train_state(model, rng, (audio,))
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    params = shard_params(mesh, state.params)
+    opt_state = shard_opt_state(mesh, state.opt_state)
+
+    def specs_by_leafname(tree):
+        out = {}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            names = [getattr(p, "key", str(p)) for p in path]
+            if hasattr(leaf, "sharding"):
+                out[tuple(names[-3:])] = leaf.sharding.spec
+        return out
+
+    pspecs = specs_by_leafname(params)
+    sharded_keys = {k: v for k, v in pspecs.items()
+                    if v == jax.sharding.PartitionSpec(None, "model")}
+    assert sharded_keys, "expected at least one TP-sharded kernel"
+
+    moment_specs = {}
+    for path, leaf in jax.tree_util.tree_flatten_with_path(opt_state)[0]:
+        names = [getattr(p, "key", str(p)) for p in path]
+        if hasattr(leaf, "sharding") and leaf.ndim == 2:
+            moment_specs[tuple(names[-3:])] = leaf.sharding.spec
+    # every sharded param's mu and nu appear with the same spec
+    for key, spec in sharded_keys.items():
+        matches = [s for k, s in moment_specs.items() if k == key]
+        assert matches, f"no Adam moments found for sharded param {key}"
+        for s in matches:
+            assert s == spec, f"moment for {key} has {s}, want {spec}"
+
+
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 
