@@ -40,10 +40,13 @@ class LSTMCellFused(nn.Module):
     """One LSTM layer over a full (B, T, D) sequence.
 
     Two recurrence backends:
-    - `use_pallas=True` (inference fast path): the weight-stationary Pallas
-      kernel (ops.lstm_pallas) — W_hh stays resident in VMEM across all
-      timesteps instead of being re-read from HBM each scan step.
-    - default: lax.scan (differentiable; used for training).
+    - `use_pallas=True`: the weight-stationary Pallas kernel
+      (ops.lstm_pallas) — W_hh stays resident in VMEM across all timesteps
+      instead of being re-read from HBM each scan step. Differentiable
+      (custom_vjp with a reverse-time weight-stationary backward kernel),
+      so it serves both training and inference; the streaming/carry path
+      still uses the scan.
+    - default: lax.scan.
     """
 
     hidden_size: int
@@ -63,7 +66,7 @@ class LSTMCellFused(nn.Module):
         # Hoist the input projection out of the recurrence: one big matmul.
         x_proj = (x.astype(self.dtype) @ w_ih.astype(self.dtype) + bias.astype(self.dtype))
 
-        if self.use_pallas and h0 is None:
+        if self.use_pallas and h0 is None and not self.return_carry:
             from ..ops.lstm_pallas import lstm_layer_fused
 
             interpret = jax.devices()[0].platform == "cpu"

@@ -56,6 +56,9 @@ def build_parser():
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint in --model-dir")
     p.add_argument("--dtype", choices=["float32", "bfloat16"], default="float32")
+    p.add_argument("--pallas-lstm", action="store_true",
+                   help="weight-stationary Pallas LSTM kernel (differentiable"
+                        "; fwd+bwd recurrence keep W_hh resident in VMEM)")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard batches over a data-axis mesh of this size "
                         "(0 = single device; -1 = all devices)")
@@ -154,18 +157,20 @@ def main():
     t_probe = args.bucket
     if args.modality == "audio":
         model = AudioVAD(y_dim=y_dim, lstm_hidden_size=args.lstm_hidden,
-                         lstm_layers=args.lstm_layers, dtype=dtype)
+                         lstm_layers=args.lstm_layers, dtype=dtype,
+                         use_pallas_lstm=args.pallas_lstm)
         example = (jnp.zeros((1, t_probe, 513)),)
         freeze = None
     elif args.modality == "video":
         model = VideoVAD(y_dim=y_dim, lstm_hidden_size=args.lstm_hidden,
-                         lstm_layers=args.lstm_layers, dtype=dtype)
+                         lstm_layers=args.lstm_layers, dtype=dtype,
+                         use_pallas_lstm=args.pallas_lstm)
         example = (jnp.zeros((1, 4, 67, 67)),)
         freeze = None
     else:
         model = AVVAD(y_dim=y_dim, lstm_hidden_size=args.lstm_hidden,
                       lstm_layers=args.lstm_layers, use_mcb=args.mcb,
-                      dtype=dtype)
+                      dtype=dtype, use_pallas_lstm=args.pallas_lstm)
         example = (jnp.zeros((1, 4, 513)), jnp.zeros((1, 4, 67, 67)))
         freeze = trainable_except_video_trunk if args.pretrained_video else None
 
