@@ -28,6 +28,10 @@ class Batch(NamedTuple):
     mask: np.ndarray
     waveform: Optional[np.ndarray] = None
     time_lengths: Optional[np.ndarray] = None
+    # source indices of each row ((B,) int32, -1 on padded rows) so
+    # consumers (e.g. the prediction writer) can identify utterances
+    # without re-deriving the loader's batch plan
+    indices: Optional[np.ndarray] = None
 
     @property
     def batch_size(self) -> int:
@@ -53,19 +57,31 @@ def _pad_time(arrs: list[np.ndarray], t_pad: int) -> np.ndarray:
 
 
 def pad_batch(items: list[dict], bucket: Optional[int] = None,
-              pad_batch_to: Optional[int] = None) -> Batch:
+              pad_batch_to: Optional[int] = None,
+              source_indices: Optional[list] = None) -> Batch:
     """Zero-pad a list of utterance dicts into a Batch.
 
     `bucket` buckets the time dimension; `pad_batch_to` pads the batch
     dimension with repeated last items masked to length 0 (for fixed-B jit
-    programs on the final partial batch).
+    programs on the final partial batch). `source_indices` (one per item)
+    are carried on the Batch, -1 on padded rows.
     """
     lengths = np.asarray([it["length"] for it in items], dtype=np.int32)
     n_real = len(items)
+    indices = None
+    if source_indices is not None:
+        if len(source_indices) != n_real:
+            raise ValueError(
+                f"{len(source_indices)} source_indices for {n_real} items")
+        indices = np.asarray(source_indices, dtype=np.int32)
     if pad_batch_to and len(items) < pad_batch_to:
         items = items + [items[-1]] * (pad_batch_to - len(items))
         lengths = np.concatenate(
             [lengths, np.zeros(pad_batch_to - n_real, dtype=np.int32)]
+        )
+    if indices is not None and len(items) > n_real:
+        indices = np.concatenate(
+            [indices, np.full(len(items) - n_real, -1, dtype=np.int32)]
         )
 
     t_pad = bucket_length(max(it["length"] for it in items), bucket)
@@ -96,4 +112,5 @@ def pad_batch(items: list[dict], bucket: Optional[int] = None,
 
     mask = (np.arange(t_pad)[None, :] < lengths[:, None]).astype(np.float32)
     return Batch(audio=audio, video=video, label=label, lengths=lengths,
-                 mask=mask, waveform=waveform, time_lengths=time_lengths)
+                 mask=mask, waveform=waveform, time_lengths=time_lengths,
+                 indices=indices)

@@ -112,7 +112,8 @@ class DataLoader:
                          for i in batches[bi + 2]]
                     )
                 items = [f.result() for f in futures[bi]]
-                yield pad_batch(items, bucket=self.bucket, pad_batch_to=pad_to)
+                yield pad_batch(items, bucket=self.bucket, pad_batch_to=pad_to,
+                                source_indices=[int(i) for i in b])
         self.epoch += 1
 
 

@@ -60,8 +60,6 @@ def evaluate_split(
     (evaluate_AV_net.py:299-339), with XLA doing the scatter/gather.
     `batch_size` must then be a multiple of the data-axis size."""
     predict = make_predict_step(modality, eps)
-    # the writer below re-derives utterance order from the loader's batch
-    # plan, which is only valid unshuffled
     if mesh is not None:
         from ..parallel import shard_batch, shard_params
 
@@ -71,30 +69,31 @@ def evaluate_split(
                 f"{mesh.devices.shape[0]}"
             )
         state = state.replace(params=shard_params(mesh, state.params))
+    # length-sorted pooling minimizes padding waste; safe with any batch
+    # order because utterance identity rides on Batch.indices
     loader = DataLoader(source, batch_size=batch_size, shuffle=False,
                         bucket=bucket, pad_batch_to_full=True,
-                        sort_pool_factor=0)
+                        sort_pool_factor=4)
 
     t0 = time.perf_counter()
     n_utts = 0
     n_frames = 0
-    item_idx = 0
-    order = []
-    for b in loader.batch_plan():
-        order.extend(int(i) for i in b)
-    it = iter(order)
 
     for batch in loader:
+        # utterance identity rides on the batch itself (indices; -1 on
+        # padded rows), so shuffled or re-bucketed loaders can't mislabel
+        # predictions
+        row_indices = np.asarray(batch.indices)
         if mesh is not None:
             from ..parallel import shard_batch
 
             batch = shard_batch(mesh, batch)
         y_soft = np.asarray(predict(state, batch, norm_stats))  # (B, T, y)
         for row in range(batch.batch_size):
+            src_i = int(row_indices[row])
             length = int(batch.lengths[row])
-            if length == 0:
+            if src_i < 0 or length == 0:
                 continue  # padded batch row
-            src_i = next(it)
             noisy_rel = source.rel_path(src_i)
             pred = y_soft[row, :length]
             if pred.shape[-1] == 1:

@@ -170,3 +170,28 @@ def test_probe_length_close_to_true_length(root):
     for i in range(len(vsrc)):
         with h5py.File(root + vsrc.video_paths[i]) as f:
             assert vsrc.probe_length(i) == f["X"].shape[-1]
+
+
+def test_batch_indices_identify_rows(root):
+    """Batch.indices must pair every row to its source item under shuffle,
+    length-sorted pooling, and batch padding (the prediction writer relies
+    on this instead of re-deriving the batch plan)."""
+    src = AudioSequenceSource(root, "train", "subset", "vad_labels",
+                              upsampled=False)
+    loader = DataLoader(src, batch_size=2, shuffle=True, seed=7,
+                        sort_pool_factor=2, pad_batch_to_full=True)
+    seen = []
+    for batch in loader:
+        assert batch.indices is not None
+        for row in range(batch.batch_size):
+            idx = int(batch.indices[row])
+            if idx < 0:
+                assert int(batch.lengths[row]) == 0
+                continue
+            item = src[idx]
+            L = int(batch.lengths[row])
+            assert L == item["length"]
+            np.testing.assert_array_equal(batch.audio[row, :L],
+                                          np.asarray(item["audio"], np.float32))
+            seen.append(idx)
+    assert sorted(seen) == list(range(len(src)))
