@@ -61,6 +61,20 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
                                      ctypes.c_double,
                                      ctypes.POINTER(ctypes.c_float),
                                      ctypes.c_int64]
+    fp = ctypes.POINTER(ctypes.c_float)
+    lib.hub_create.restype = ctypes.c_void_p
+    lib.hub_create.argtypes = [ctypes.c_int32] * 4
+    lib.hub_destroy.restype = None
+    lib.hub_destroy.argtypes = [ctypes.c_void_p]
+    lib.hub_reset.restype = None
+    lib.hub_reset.argtypes = [ctypes.c_void_p]
+    lib.hub_feed.restype = ctypes.c_int64
+    lib.hub_feed.argtypes = [ctypes.c_void_p, ctypes.c_int32, fp,
+                             ctypes.c_int64]
+    lib.hub_frames_ready.restype = ctypes.c_int64
+    lib.hub_frames_ready.argtypes = [ctypes.c_void_p, ctypes.c_int32]
+    lib.hub_assemble.restype = ctypes.c_int32
+    lib.hub_assemble.argtypes = [ctypes.c_void_p, fp, fp, fp]
     _lib = lib
     return lib
 
@@ -118,3 +132,95 @@ def frame_energy_vad(x: np.ndarray, nfft: int, hop: int, pad_end: int,
     if n < 0:
         raise ValueError(f"frame_energy_vad failed: rc={n}")
     return out[:n]
+
+
+class StreamHub:
+    """Multi-stream sample rings + one-call block assembly (serving).
+
+    Native (C++) when the library is available, with a drop-in numpy
+    fallback. Per tick, `assemble()` writes every ready stream's next
+    (block_frames, nfft) frame block into one preallocated
+    (n_streams, block_frames, nfft) array — one call, no per-stream Python.
+    """
+
+    def __init__(self, n_streams: int, nfft: int, hop: int,
+                 block_frames: int, force_python: bool = False):
+        self.n = n_streams
+        self.nfft = nfft
+        self.hop = hop
+        self.block_frames = block_frames
+        self._lib = None if force_python else load()
+        self._out = np.zeros((n_streams, block_frames, nfft), np.float32)
+        self._peaks = np.zeros(n_streams, np.float32)
+        self._active = np.zeros(n_streams, np.float32)
+        if self._lib is not None:
+            self._h = self._lib.hub_create(n_streams, nfft, hop, block_frames)
+            if not self._h:
+                raise RuntimeError("hub_create failed")
+        else:
+            self._bufs = [np.zeros(0, np.float32) for _ in range(n_streams)]
+            self._py_peaks = np.zeros(n_streams, np.float32)
+
+    def __del__(self):
+        if getattr(self, "_lib", None) is not None and getattr(self, "_h", None):
+            self._lib.hub_destroy(self._h)
+            self._h = None
+
+    def reset(self) -> None:
+        if self._lib is not None:
+            self._lib.hub_reset(self._h)
+        else:
+            self._bufs = [np.zeros(0, np.float32) for _ in range(self.n)]
+            self._py_peaks[:] = 0.0
+
+    def _ready_py(self, i: int) -> int:
+        n = len(self._bufs[i])
+        return 0 if n < self.nfft else 1 + (n - self.nfft) // self.hop
+
+    def feed(self, stream: int, pcm: np.ndarray) -> int:
+        """Buffer samples; returns complete frames now buffered."""
+        pcm = np.ascontiguousarray(pcm, dtype=np.float32)
+        if self._lib is not None:
+            rc = self._lib.hub_feed(
+                self._h, stream,
+                pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(pcm))
+            if rc < 0:
+                raise ValueError(f"hub_feed failed: rc={rc}")
+            return int(rc)
+        if pcm.size:
+            self._py_peaks[stream] = max(self._py_peaks[stream],
+                                         float(np.max(np.abs(pcm))))
+        self._bufs[stream] = np.concatenate([self._bufs[stream], pcm])
+        return self._ready_py(stream)
+
+    def frames_ready(self, stream: int) -> int:
+        if self._lib is not None:
+            return int(self._lib.hub_frames_ready(self._h, stream))
+        return self._ready_py(stream)
+
+    def assemble(self):
+        """-> (blocks (N, bf, nfft), peaks (N,), active (N,), n_active).
+
+        The returned arrays are reused across calls — consume (device_put)
+        before the next assemble."""
+        if self._lib is not None:
+            fp = ctypes.POINTER(ctypes.c_float)
+            n_active = self._lib.hub_assemble(
+                self._h, self._out.ctypes.data_as(fp),
+                self._peaks.ctypes.data_as(fp),
+                self._active.ctypes.data_as(fp))
+            return self._out, self._peaks, self._active, int(n_active)
+        n_active = 0
+        bf, nfft, hop = self.block_frames, self.nfft, self.hop
+        for i in range(self.n):
+            self._peaks[i] = self._py_peaks[i]
+            if self._ready_py(i) < bf:
+                self._active[i] = 0.0
+                continue
+            buf = self._bufs[i]
+            idx = (np.arange(bf)[:, None] * hop + np.arange(nfft)[None, :])
+            self._out[i] = buf[idx]
+            self._bufs[i] = buf[bf * hop:]
+            self._active[i] = 1.0
+            n_active += 1
+        return self._out, self._peaks, self._active, n_active

@@ -160,7 +160,8 @@ class MultiStreamVAD:
     def __init__(self, model: AudioVAD, variables: dict, n_streams: int,
                  norm_stats: Optional[dict] = None,
                  stft_cfg: STFTConfig = STFTConfig(),
-                 block_frames: int = 16):
+                 block_frames: int = 16,
+                 native: bool = True):
         self.model = model
         self.variables = variables
         self.n = n_streams
@@ -168,6 +169,12 @@ class MultiStreamVAD:
         self.block_frames = block_frames
         self._nfft = stft_cfg.nfft
         self._hop = stft_cfg.hopsamp
+        # sample buffering + per-tick block assembly live in the native hub
+        # (C++, one call per tick); force_python gives a numpy drop-in
+        from .native import StreamHub
+
+        self._hub = StreamHub(n_streams, self._nfft, self._hop, block_frames,
+                              force_python=not native)
         cos_b, sin_b = _windowed_dft_bases(self._nfft)
         self._cos, self._sin = jnp.asarray(cos_b), jnp.asarray(sin_b)
         if norm_stats and norm_stats.get("audio_mean") is not None:
@@ -179,10 +186,7 @@ class MultiStreamVAD:
         self.reset()
 
     def reset(self) -> None:
-        self._bufs = [np.zeros(0, np.float32) for _ in range(self.n)]
-        self._frames = [np.zeros((0, self._nfft), np.float32)
-                        for _ in range(self.n)]
-        self._peaks = np.zeros(self.n, np.float32)
+        self._hub.reset()
         h = self.model.lstm_hidden_size
         self._carries = [(jnp.zeros((self.n, h)), jnp.zeros((self.n, h)))
                          for _ in range(self.model.lstm_layers)]
@@ -214,19 +218,7 @@ class MultiStreamVAD:
 
     def feed(self, stream_idx: int, pcm: np.ndarray) -> None:
         """Buffer samples for one stream (no compute)."""
-        pcm = np.asarray(pcm, dtype=np.float32)
-        if pcm.size:
-            self._peaks[stream_idx] = max(self._peaks[stream_idx],
-                                          float(np.max(np.abs(pcm))))
-        buf = np.concatenate([self._bufs[stream_idx], pcm])
-        if len(buf) >= self._nfft:
-            n_new = 1 + (len(buf) - self._nfft) // self._hop
-            idx = (np.arange(n_new)[:, None] * self._hop
-                   + np.arange(self._nfft)[None, :])
-            self._frames[stream_idx] = np.concatenate(
-                [self._frames[stream_idx], buf[idx]])
-            buf = buf[n_new * self._hop:]
-        self._bufs[stream_idx] = buf
+        self._hub.feed(stream_idx, np.asarray(pcm, dtype=np.float32))
 
     def tick(self, fetch: bool = True) -> dict:
         """Advance every stream with >= block_frames buffered; returns
@@ -236,17 +228,11 @@ class MultiStreamVAD:
         device pipeline stays full across ticks (fetching each tick costs
         ~29 ms of dead sync time on this backend); convert results with
         np.asarray whenever convenient."""
-        bf = self.block_frames
-        active = np.asarray([len(f) >= bf for f in self._frames], np.float32)
-        if not active.any():
+        blocks, peaks, active, n_active = self._hub.assemble()
+        if n_active == 0:
             return {}
-        blocks = np.zeros((self.n, bf, self._nfft), np.float32)
-        for i in range(self.n):
-            if active[i]:
-                blocks[i] = self._frames[i][:bf]
-                self._frames[i] = self._frames[i][bf:]
         probs, self._carries = self._step(
-            self.variables, jnp.asarray(blocks), jnp.asarray(self._peaks),
+            self.variables, jnp.asarray(blocks), jnp.asarray(peaks),
             jnp.asarray(active), self._carries)
         if fetch:
             probs = np.asarray(probs)

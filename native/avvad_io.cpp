@@ -197,4 +197,118 @@ int64_t frame_energy_vad(const float* x, int64_t n, int32_t nfft, int32_t hop,
   return n_frames;
 }
 
+// ---------------------------------------------------------------------------
+// Multi-stream hub: per-stream sample rings + one-call block assembly for
+// streaming serving (avvad_tpu.serve.MultiStreamVAD). Replaces the
+// per-stream Python/numpy framing + block-assembly loop with one C call
+// per tick: frames for every ready stream are written straight into the
+// caller's pinned (N, block_frames, nfft) tensor.
+
+struct StreamBuf {
+  std::vector<float> samples;
+  size_t head = 0;  // consumed prefix (compacted lazily)
+  float peak = 0.0f;
+
+  size_t size() const { return samples.size() - head; }
+  const float* data() const { return samples.data() + head; }
+
+  void append(const float* pcm, int64_t n) {
+    samples.insert(samples.end(), pcm, pcm + n);
+  }
+
+  void consume(size_t n) {
+    head += n;
+    if (head > (1u << 20) && head * 2 > samples.size()) {
+      samples.erase(samples.begin(), samples.begin() + (std::ptrdiff_t)head);
+      head = 0;
+    }
+  }
+};
+
+struct StreamHub {
+  int32_t n_streams, nfft, hop, block_frames;
+  std::vector<StreamBuf> bufs;
+};
+
+// Create a hub for n_streams streams framed at (nfft, hop) and served in
+// blocks of block_frames frames. Returns an opaque handle.
+void* hub_create(int32_t n_streams, int32_t nfft, int32_t hop,
+                 int32_t block_frames) {
+  if (n_streams <= 0 || nfft <= 0 || hop <= 0 || block_frames <= 0)
+    return nullptr;
+  auto* h = new StreamHub{n_streams, nfft, hop, block_frames, {}};
+  h->bufs.resize((size_t)n_streams);
+  return h;
+}
+
+void hub_destroy(void* hub) { delete (StreamHub*)hub; }
+
+void hub_reset(void* hub) {
+  auto* h = (StreamHub*)hub;
+  for (auto& b : h->bufs) {
+    b.samples.clear();
+    b.head = 0;
+    b.peak = 0.0f;
+  }
+}
+
+static int64_t frames_ready(const StreamHub* h, const StreamBuf& b) {
+  if (b.size() < (size_t)h->nfft) return 0;
+  return 1 + (int64_t)(b.size() - h->nfft) / h->hop;
+}
+
+// Buffer samples for one stream; updates the running peak. Returns the
+// number of complete frames now buffered, or a negative error code.
+int64_t hub_feed(void* hub, int32_t stream, const float* pcm, int64_t n) {
+  auto* h = (StreamHub*)hub;
+  if (!h || stream < 0 || stream >= h->n_streams || n < 0)
+    return AVVAD_ERR_BADARG;
+  StreamBuf& b = h->bufs[(size_t)stream];
+  for (int64_t i = 0; i < n; ++i) {
+    float a = std::fabs(pcm[i]);
+    if (a > b.peak) b.peak = a;
+  }
+  b.append(pcm, n);
+  return frames_ready(h, b);
+}
+
+int64_t hub_frames_ready(void* hub, int32_t stream) {
+  auto* h = (StreamHub*)hub;
+  if (!h || stream < 0 || stream >= h->n_streams) return AVVAD_ERR_BADARG;
+  return frames_ready(h, h->bufs[(size_t)stream]);
+}
+
+// One serving tick: for every stream with >= block_frames complete frames,
+// write its next (block_frames, nfft) frame block into out (laid out
+// (n_streams, block_frames, nfft), rows of inactive streams untouched),
+// set active_out[i] = 1, record the running peak in peaks_out[i], and
+// consume block_frames*hop samples (the nfft-hop overlap tail stays
+// buffered). Returns the number of active streams.
+int32_t hub_assemble(void* hub, float* out, float* peaks_out,
+                     float* active_out) {
+  auto* h = (StreamHub*)hub;
+  if (!h) return AVVAD_ERR_BADARG;
+  const int64_t bf = h->block_frames;
+  const int64_t frame_stride = h->nfft;
+  const int64_t stream_stride = bf * frame_stride;
+  int32_t n_active = 0;
+  for (int32_t s = 0; s < h->n_streams; ++s) {
+    StreamBuf& b = h->bufs[(size_t)s];
+    peaks_out[s] = b.peak;
+    if (frames_ready(h, b) < bf) {
+      active_out[s] = 0.0f;
+      continue;
+    }
+    float* dst = out + (int64_t)s * stream_stride;
+    const float* src = b.data();
+    for (int64_t f = 0; f < bf; ++f)
+      std::memcpy(dst + f * frame_stride, src + f * h->hop,
+                  (size_t)h->nfft * sizeof(float));
+    b.consume((size_t)(bf * h->hop));
+    active_out[s] = 1.0f;
+    ++n_active;
+  }
+  return n_active;
+}
+
 }  // extern "C"
