@@ -62,10 +62,41 @@ def latest_checkpoint(model_dir: str) -> Optional[str]:
     return best[1] if best else None
 
 
+def best_checkpoint(model_dir: str) -> Optional[str]:
+    """Checkpoint with the lowest validation loss (ties -> later epoch) —
+    the selection the reference made by hand when hard-coding a chosen
+    `epoch_XXX_vloss_Y.YY.pt` filename (evaluate_AV_net.py:117)."""
+    if not os.path.isdir(model_dir):
+        return None
+    best = None
+    for name in os.listdir(model_dir):
+        m = _CKPT_RE.match(name)
+        if m:
+            key = (float(m.group(2)), -int(m.group(1)))
+            if best is None or key < best[0]:
+                best = (key, os.path.join(model_dir, name))
+    return best[1] if best else None
+
+
+def resolve_checkpoint(path: str, prefer: str = "best") -> str:
+    """Accept either a concrete epoch_* checkpoint dir or a model dir
+    containing them; model dirs resolve to the best-vloss (or latest)
+    checkpoint inside."""
+    if _CKPT_RE.match(os.path.basename(os.path.normpath(path))):
+        return path
+    resolved = (best_checkpoint(path) if prefer == "best"
+                else latest_checkpoint(path))
+    if resolved is None:
+        return path  # let the checkpointer produce its own error
+    return resolved
+
+
 def restore_checkpoint(path: str, state, with_opt: bool = True):
     """Restore into an existing TrainState (template for tree structure).
+    `path` may be a model dir (resolves to its best-vloss checkpoint).
 
     Returns (state, norm_stats, epoch)."""
+    path = resolve_checkpoint(path)
     template = {
         "params": state.params,
         "opt_state": state.opt_state,
@@ -122,8 +153,9 @@ def load_pretrained_trunk(path: str, params, batch_stats=None,
     includes the BatchNorm running statistics; both params and batch_stats
     are grafted here accordingly).
 
-    Returns params, or (params, batch_stats) when batch_stats is given."""
-    path = os.path.abspath(path)
+    Returns params, or (params, batch_stats) when batch_stats is given.
+    `path` may be a model dir (resolves to its best-vloss checkpoint)."""
+    path = os.path.abspath(resolve_checkpoint(path))
     ckptr = ocp.StandardCheckpointer()
     payload = ckptr.restore(path, target=None)
     src_p = payload["params"]

@@ -64,3 +64,26 @@ def test_latest_checkpoint_ordering(tmp_path):
     latest = latest_checkpoint(str(tmp_path))
     assert latest is not None and "epoch_010" in latest
     assert latest_checkpoint(str(tmp_path / "nonexistent")) is None
+
+
+def test_resolve_checkpoint_prefers_best_vloss(tmp_path):
+    """Model dirs resolve to the lowest-vloss epoch (the selection the
+    reference hard-coded by filename, evaluate_AV_net.py:117)."""
+    import os
+
+    from avvad_tpu.train.checkpoint import (best_checkpoint,
+                                            resolve_checkpoint)
+
+    d = tmp_path / "model"
+    for name in ["epoch_001_vloss_4.48", "epoch_007_vloss_2.11",
+                 "epoch_060_vloss_9.99", "notes.txt"]:
+        os.makedirs(d / name, exist_ok=True) if "epoch" in name else \
+            (d / name).parent.mkdir(parents=True, exist_ok=True)
+    (d / "notes.txt").write_text("x")
+
+    best = best_checkpoint(str(d))
+    assert best.endswith("epoch_007_vloss_2.11")
+    assert resolve_checkpoint(str(d)).endswith("epoch_007_vloss_2.11")
+    # concrete checkpoint paths pass through untouched
+    exact = str(d / "epoch_060_vloss_9.99")
+    assert resolve_checkpoint(exact) == exact
