@@ -68,6 +68,8 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
     lib.hub_destroy.argtypes = [ctypes.c_void_p]
     lib.hub_reset.restype = None
     lib.hub_reset.argtypes = [ctypes.c_void_p]
+    lib.hub_reset_stream.restype = ctypes.c_int32
+    lib.hub_reset_stream.argtypes = [ctypes.c_void_p, ctypes.c_int32]
     lib.hub_feed.restype = ctypes.c_int64
     lib.hub_feed.argtypes = [ctypes.c_void_p, ctypes.c_int32, fp,
                              ctypes.c_int64]
@@ -172,6 +174,16 @@ class StreamHub:
         else:
             self._bufs = [np.zeros(0, np.float32) for _ in range(self.n)]
             self._py_peaks[:] = 0.0
+
+    def reset_stream(self, stream: int) -> None:
+        """Clear one stream's buffer and peak (connection recycling)."""
+        if self._lib is not None:
+            rc = self._lib.hub_reset_stream(self._h, stream)
+            if rc < 0:
+                raise ValueError(f"hub_reset_stream failed: rc={rc}")
+        else:
+            self._bufs[stream] = np.zeros(0, np.float32)
+            self._py_peaks[stream] = 0.0
 
     def _ready_py(self, i: int) -> int:
         n = len(self._bufs[i])

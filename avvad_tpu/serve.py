@@ -220,6 +220,15 @@ class MultiStreamVAD:
         """Buffer samples for one stream (no compute)."""
         self._hub.feed(stream_idx, np.asarray(pcm, dtype=np.float32))
 
+    def reset_stream(self, stream_idx: int) -> None:
+        """Recycle one stream slot: clear its buffer/peak and zero its LSTM
+        carries (other streams are untouched)."""
+        self._hub.reset_stream(stream_idx)
+        self._carries = [
+            (h.at[stream_idx].set(0.0), c.at[stream_idx].set(0.0))
+            for h, c in self._carries
+        ]
+
     def tick(self, fetch: bool = True) -> dict:
         """Advance every stream with >= block_frames buffered; returns
         {stream_idx: probs} for the streams that produced output.

@@ -1,0 +1,183 @@
+"""TCP serving front for streaming VAD.
+
+The reference stops at batch-file evaluation (SURVEY §1: no service
+layer); avvad_tpu.serve adds stateful streaming classifiers, and this
+module puts a production-style network front on them: one TCP connection
+per audio stream, full-duplex raw float32 little-endian PCM in /
+speech-probability frames out.
+
+Wire protocol (deliberately minimal):
+  client -> server: raw float32 LE samples, any chunking (16 kHz mono)
+  server -> client: raw float32 LE per-frame speech probabilities, in
+                    frame order, emitted as soon as each block_frames
+                    block of STFT frames completes
+
+Design: a single-threaded selector loop multiplexes all connections onto
+one MultiStreamVAD — sockets drain into the native StreamHub (zero
+per-stream Python in the hot path), then one device step per tick
+advances every stream with a full block. Connections map to stream slots;
+closed connections recycle their slot (buffer, peak, and LSTM carries
+reset). Backpressure: with all slots busy, new connections are refused.
+"""
+
+from __future__ import annotations
+
+import selectors
+import socket
+from typing import Optional
+
+import numpy as np
+
+from .serve import MultiStreamVAD
+
+_BYTES_PER_SAMPLE = 4
+_RECV_CHUNK = 1 << 16
+
+
+class VADServer:
+    """Serve a MultiStreamVAD over TCP; one connection = one stream."""
+
+    def __init__(self, streamer: MultiStreamVAD, host: str = "127.0.0.1",
+                 port: int = 0):
+        self.streamer = streamer
+        self._listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+        self._listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+        self._listener.bind((host, port))
+        self._listener.listen()
+        self._listener.setblocking(False)
+        self._sel = selectors.DefaultSelector()
+        self._sel.register(self._listener, selectors.EVENT_READ, "accept")
+        self._free = list(range(streamer.n - 1, -1, -1))
+        self._conn_slot: dict = {}   # conn -> stream idx
+        self._slot_conn: dict = {}   # stream idx -> conn
+        self._partial: dict = {}     # conn -> trailing bytes (< 4)
+        self._running = False
+
+    @property
+    def address(self):
+        return self._listener.getsockname()
+
+    # -- connection lifecycle ------------------------------------------------
+
+    def _accept(self):
+        conn, _ = self._listener.accept()
+        if not self._free:
+            conn.close()  # all stream slots busy
+            return
+        conn.setblocking(False)
+        slot = self._free.pop()
+        self._conn_slot[conn] = slot
+        self._slot_conn[slot] = conn
+        self._partial[conn] = b""
+        self._sel.register(conn, selectors.EVENT_READ, "data")
+
+    def _drop(self, conn):
+        slot = self._conn_slot.pop(conn, None)
+        self._partial.pop(conn, None)
+        if slot is not None:
+            self._slot_conn.pop(slot, None)
+            self.streamer.reset_stream(slot)
+            self._free.append(slot)
+        try:
+            self._sel.unregister(conn)
+        except (KeyError, ValueError):
+            pass
+        conn.close()
+
+    def _read(self, conn):
+        slot = self._conn_slot.get(conn)
+        if slot is None:
+            return
+        chunks = [self._partial.get(conn, b"")]
+        try:
+            while True:
+                data = conn.recv(_RECV_CHUNK)
+                if not data:
+                    if len(chunks) == 1 and not chunks[0]:
+                        self._drop(conn)
+                        return
+                    break
+                chunks.append(data)
+                if len(data) < _RECV_CHUNK:
+                    break
+        except BlockingIOError:
+            pass
+        except ConnectionError:
+            self._drop(conn)
+            return
+        buf = b"".join(chunks)
+        usable = len(buf) - (len(buf) % _BYTES_PER_SAMPLE)
+        if usable:
+            pcm = np.frombuffer(buf[:usable], dtype="<f4")
+            self.streamer.feed(slot, pcm)
+        if conn in self._partial:
+            self._partial[conn] = buf[usable:]
+
+    # -- serving loop --------------------------------------------------------
+
+    def poll(self, timeout: float = 0.005) -> int:
+        """One server iteration: drain sockets, run one device tick, send
+        results. Returns the number of streams that produced output."""
+        for key, _ in self._sel.select(timeout):
+            if key.data == "accept":
+                self._accept()
+            else:
+                self._read(key.fileobj)
+        results = self.streamer.tick(fetch=True)
+        for slot, probs in results.items():
+            conn = self._slot_conn.get(slot)
+            if conn is None:
+                continue
+            try:
+                conn.sendall(np.asarray(probs, dtype="<f4").tobytes())
+            except (BlockingIOError, ConnectionError):
+                self._drop(conn)
+        return len(results)
+
+    def serve_forever(self, max_iterations: Optional[int] = None,
+                      timeout: float = 0.005):
+        self._running = True
+        n = 0
+        while self._running:
+            self.poll(timeout)
+            n += 1
+            if max_iterations is not None and n >= max_iterations:
+                break
+
+    def stop(self):
+        self._running = False
+
+    def close(self):
+        self.stop()
+        for conn in list(self._conn_slot):
+            self._drop(conn)
+        self._sel.unregister(self._listener)
+        self._listener.close()
+        self._sel.close()
+
+
+def stream_client(address, pcm: np.ndarray, n_expected: int,
+                  chunk: int = 4000, timeout: float = 30.0) -> np.ndarray:
+    """Minimal reference client: send pcm, collect n_expected probs."""
+    with socket.create_connection(address, timeout=timeout) as s:
+        s.settimeout(timeout)
+        data = np.asarray(pcm, dtype="<f4").tobytes()
+        out = b""
+        want = n_expected * _BYTES_PER_SAMPLE
+        for off in range(0, len(data), chunk * _BYTES_PER_SAMPLE):
+            s.sendall(data[off: off + chunk * _BYTES_PER_SAMPLE])
+            try:
+                s.settimeout(0.0)
+                part = s.recv(1 << 20)
+                if part:
+                    out += part
+            except (BlockingIOError, socket.timeout):
+                pass
+            finally:
+                s.settimeout(timeout)
+        while len(out) < want:
+            part = s.recv(1 << 20)
+            if not part:
+                break
+            out += part
+    return np.frombuffer(out[:want], dtype="<f4")

@@ -252,6 +252,17 @@ void hub_reset(void* hub) {
   }
 }
 
+// Reset one stream (connection recycling in the serving front).
+int32_t hub_reset_stream(void* hub, int32_t stream) {
+  auto* h = (StreamHub*)hub;
+  if (!h || stream < 0 || stream >= h->n_streams) return AVVAD_ERR_BADARG;
+  StreamBuf& b = h->bufs[(size_t)stream];
+  b.samples.clear();
+  b.head = 0;
+  b.peak = 0.0f;
+  return 0;
+}
+
 static int64_t frames_ready(const StreamHub* h, const StreamBuf& b) {
   if (b.size() < (size_t)h->nfft) return 0;
   return 1 + (int64_t)(b.size() - h->nfft) / h->hop;

@@ -1,0 +1,110 @@
+"""TCP serving front: per-connection streams must match single-stream
+classification, and slots must recycle."""
+
+import socket
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avvad_tpu.models import AudioVAD
+from avvad_tpu.serve import MultiStreamVAD, StreamingVAD
+from avvad_tpu.server import VADServer, stream_client
+
+
+def _model_and_vars(h=16, layers=2):
+    model = AudioVAD(y_dim=1, lstm_hidden_size=h, lstm_layers=layers)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 513)))
+    return model, variables
+
+
+def _signals(n, samples=12000):
+    rng = np.random.default_rng(7)
+    out = []
+    for _ in range(n):
+        s = np.clip(rng.normal(size=samples) * 0.2, -1, 1).astype(np.float32)
+        # pin the running peak from the very first sample so the causal
+        # peak normalization is independent of server tick timing
+        s[0] = 1.0
+        out.append(s)
+    return out
+
+
+def test_server_round_trip_matches_single_stream():
+    model, variables = _model_and_vars()
+    bf = 8
+    ms = MultiStreamVAD(model, variables, n_streams=4, block_frames=bf)
+    server = VADServer(ms)
+    t = threading.Thread(target=server.serve_forever,
+                        kwargs={"timeout": 0.002}, daemon=True)
+    t.start()
+    try:
+        signals = _signals(2)
+        cfg = ms.cfg
+        n_frames = [1 + (len(s) - cfg.nfft) // cfg.hopsamp for s in signals]
+        n_out = [(f // bf) * bf for f in n_frames]
+
+        results = [None, None]
+        errs = []
+
+        def run(i):
+            try:
+                results[i] = stream_client(server.address, signals[i],
+                                           n_out[i])
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join(timeout=60)
+        assert not errs, errs
+
+        # oracle: each signal alone through a StreamingVAD
+        for i, sig in enumerate(signals):
+            sv = StreamingVAD(model, variables, block_frames=bf,
+                              fixed_peak=1.0)
+            ref = np.concatenate([sv.feed(sig), sv.flush()])[: n_out[i]]
+            assert results[i] is not None and len(results[i]) == n_out[i]
+            np.testing.assert_allclose(results[i], ref, atol=1e-5,
+                                       err_msg=f"stream {i}")
+    finally:
+        server.stop()
+        t.join(timeout=10)
+        server.close()
+
+
+def test_server_slot_recycling():
+    model, variables = _model_and_vars(h=8, layers=1)
+    ms = MultiStreamVAD(model, variables, n_streams=1, block_frames=4)
+    server = VADServer(ms)
+    t = threading.Thread(target=server.serve_forever,
+                        kwargs={"timeout": 0.002}, daemon=True)
+    t.start()
+    try:
+        sig = _signals(1, samples=6000)[0]
+        cfg = ms.cfg
+        nf = 1 + (len(sig) - cfg.nfft) // cfg.hopsamp
+        n_out = (nf // 4) * 4
+        # two sequential sessions on the single slot: identical results
+        # prove the slot state (buffer, peak, carries) was recycled
+        a = stream_client(server.address, sig, n_out)
+        b = stream_client(server.address, sig, n_out)
+        np.testing.assert_allclose(a, b, atol=0)
+
+        # with the slot held, an extra connection is refused
+        hold = socket.create_connection(server.address, timeout=5)
+        try:
+            hold.sendall(b"\x00\x00\x00\x00")
+            extra = socket.create_connection(server.address, timeout=5)
+            extra.settimeout(5)
+            assert extra.recv(1) == b""  # server closed it immediately
+            extra.close()
+        finally:
+            hold.close()
+    finally:
+        server.stop()
+        t.join(timeout=10)
+        server.close()
