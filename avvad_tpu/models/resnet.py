@@ -22,15 +22,60 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def _int8_dynamic_conv(x: jax.Array, kernel: jax.Array, strides, padding,
+                       out_dtype) -> jax.Array:
+    """W8A8 conv with int32 MXU accumulation and dynamic quantization.
+
+    The v5e MXU runs int8 x int8 at twice the bf16 rate; for the
+    compute-bound video tower that headroom is the point. Scales: symmetric
+    per-output-channel for weights, symmetric per-tensor (computed on the
+    fly, one fused reduce) for activations. Inference-only (round() kills
+    gradients by design)."""
+    w_scale = jnp.maximum(
+        jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-8) / 127.0  # (O,)
+    w_q = jnp.round(kernel / w_scale).astype(jnp.int8)
+    x_scale = jnp.maximum(jnp.max(jnp.abs(x)), 1e-8) / 127.0
+    x_q = jnp.round(x / x_scale).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        x_q, w_q, window_strides=strides, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return (y.astype(jnp.float32) * (x_scale * w_scale)).astype(out_dtype)
+
+
+class QConv(nn.Module):
+    """nn.Conv stand-in (same "kernel" param name/shape, no bias) that runs
+    the int8 dynamic-quantization path. Checkpoints are unaffected: the
+    stored parameter stays float."""
+
+    features: int
+    kernel_size: tuple
+    strides: tuple = (1, 1)
+    padding: object = "SAME"
+    dtype: jnp.dtype = jnp.float32
+    use_bias: bool = False  # signature parity with nn.Conv; must be False
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            self.kernel_size + (x.shape[-1], self.features))
+        return _int8_dynamic_conv(x, kernel, self.strides, self.padding,
+                                  self.dtype)
+
+
 class BasicBlock(nn.Module):
     features: int
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
     norm_eps: float = 1e-5
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
+        conv_cls = QConv if self.quant_int8 else nn.Conv
+        conv = partial(conv_cls, use_bias=False, dtype=self.dtype)
         norm = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9,
                        epsilon=self.norm_eps, dtype=jnp.float32)
 
@@ -104,15 +149,19 @@ class _StemGray(nn.Module):
     (7,7,3,64) kernel summed over its input-channel axis (exact)."""
 
     dtype: jnp.dtype = jnp.float32
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (7, 7, 3, 64)
         )
-        k1 = jnp.sum(kernel, axis=2, keepdims=True).astype(self.dtype)
+        k1 = jnp.sum(kernel, axis=2, keepdims=True)
+        if self.quant_int8:
+            return _int8_dynamic_conv(x, k1, (2, 2), [(3, 3), (3, 3)],
+                                      self.dtype)
         return jax.lax.conv_general_dilated(
-            x.astype(self.dtype), k1, window_strides=(2, 2),
+            x.astype(self.dtype), k1.astype(self.dtype), window_strides=(2, 2),
             padding=[(3, 3), (3, 3)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
@@ -131,6 +180,7 @@ class ResNet18(nn.Module):
     norm_eps: float = 1e-5
     stem_s2d: bool = False
     gray_input: bool = False
+    quant_int8: bool = False  # W8A8 dynamic-quant convs (inference only)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -141,7 +191,8 @@ class ResNet18(nn.Module):
             # input channel and skip materializing the RGB repeat (3x less
             # stem input bandwidth). Param stays the (7,7,3,64) torchvision
             # kernel for checkpoint compatibility.
-            x = _StemGray(dtype=self.dtype, name="conv1")(x)
+            x = _StemGray(dtype=self.dtype, quant_int8=self.quant_int8,
+                          name="conv1")(x)
         elif self.stem_s2d:
             x = _StemS2D(dtype=self.dtype, name="conv1")(x)
         else:
@@ -157,6 +208,7 @@ class ResNet18(nn.Module):
                 stride = 2 if (stage > 0 and block == 0) else 1
                 x = BasicBlock(width, stride=stride, dtype=self.dtype,
                                norm_eps=self.norm_eps,
+                               quant_int8=self.quant_int8,
                                name=f"layer{stage + 1}_{block}")(x, train=train)
 
         x = jnp.mean(x, axis=(1, 2))  # global average pool

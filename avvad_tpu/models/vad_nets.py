@@ -111,6 +111,7 @@ class _VideoTower(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     gray_stem: bool = True  # exact: conv1(repeat(x,3)) == conv(x, sum_c W)
+    quant_int8: bool = False  # W8A8 trunk convs (inference only)
 
     @nn.compact
     def __call__(self, video: jax.Array, train: bool = False) -> jax.Array:
@@ -121,6 +122,7 @@ class _VideoTower(nn.Module):
         trunk_cls = nn.remat(ResNet18, static_argnums=(2,)) if self.remat \
             else ResNet18
         feats = trunk_cls(dtype=self.dtype, gray_input=self.gray_stem,
+                          quant_int8=self.quant_int8,
                           name="features")(frames, train)
         return feats.reshape(b, t, -1)
 
@@ -132,12 +134,14 @@ class VideoVAD(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     use_pallas_lstm: bool = False
+    tower_int8: bool = False  # W8A8 trunk convs (inference only)
     dropout_rate: float = 0.0  # defined-but-disabled in the reference
 
     @nn.compact
     def __call__(self, video: jax.Array, lengths: Optional[jax.Array] = None,
                  train: bool = False, return_last: bool = False) -> jax.Array:
         x = _VideoTower(dtype=self.dtype, remat=self.remat,
+                        quant_int8=self.tower_int8,
                         name="tower")(video, train=train)
         x = LSTMStack(self.lstm_hidden_size, self.lstm_layers, dtype=self.dtype,
                       use_pallas=self.use_pallas_lstm,
@@ -166,10 +170,12 @@ class AVVAD(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     use_pallas_lstm: bool = False
+    tower_int8: bool = False  # W8A8 trunk convs (inference only)
     dropout_rate: float = 0.0  # reference Dropout(0.05), never enabled
 
     def setup(self):
-        self.tower = _VideoTower(dtype=self.dtype, remat=self.remat)
+        self.tower = _VideoTower(dtype=self.dtype, remat=self.remat,
+                                 quant_int8=self.tower_int8)
         if self.use_mcb:
             self.mcb = CompactBilinearPooling(
                 self.num_audio_features, self.num_video_features,

@@ -39,6 +39,8 @@ def parse_args():
     p.add_argument("--lstm-hidden", type=int, default=1024)
     p.add_argument("--lstm-layers", type=int, default=2)
     p.add_argument("--mcb", action=argparse.BooleanOptionalAction, default=True)
+    p.add_argument("--tower-int8", action="store_true",
+                   help="W8A8 dynamic-quant video trunk (2x MXU int8 rate)")
     p.add_argument("--pallas-lstm", action="store_true",
                    help="use the weight-stationary Pallas LSTM kernel")
     p.add_argument("--data-parallel", type=int, default=0,
@@ -71,7 +73,8 @@ def main():
                                      upsampled=args.upsampled)
         model = VideoVAD(y_dim=y_dim, lstm_hidden_size=args.lstm_hidden,
                          lstm_layers=args.lstm_layers,
-                         use_pallas_lstm=args.pallas_lstm)
+                         use_pallas_lstm=args.pallas_lstm,
+                         tower_int8=args.tower_int8)
         example = (jnp.zeros((1, 4, 67, 67)),)
     else:
         source = AudioVisualSource(processed, args.split, args.dataset_size,
@@ -79,7 +82,8 @@ def main():
                                    video_variant=args.video_variant)
         model = AVVAD(y_dim=y_dim, lstm_hidden_size=args.lstm_hidden,
                       lstm_layers=args.lstm_layers, use_mcb=args.mcb,
-                      use_pallas_lstm=args.pallas_lstm)
+                      use_pallas_lstm=args.pallas_lstm,
+                      tower_int8=args.tower_int8)
         example = (jnp.zeros((1, 4, 513)), jnp.zeros((1, 4, 67, 67)))
 
     print(f"{args.split} utterances: {len(source)}")

@@ -332,3 +332,28 @@ def test_misc_model_utils():
     np.testing.assert_array_equal(
         np.asarray(newp["lstm_audio"]["layer_0"]["w_hh"]),
         np.asarray(params["lstm_audio"]["layer_0"]["w_hh"]))
+
+
+def test_int8_tower_close_to_fp32():
+    """W8A8 dynamic-quant trunk tracks the fp32 trunk closely enough for
+    probability-level work (quality is gated on the trained model's metrics
+    in BENCH_NOTES; this pins basic numeric sanity)."""
+    from avvad_tpu.models.vad_nets import _VideoTower
+
+    rng = np.random.default_rng(0)
+    v = jnp.asarray(rng.normal(size=(2, 3, 67, 67)).astype(np.float32))
+
+    tower = _VideoTower()
+    variables = tower.init(jax.random.PRNGKey(0), v)
+    ref = np.asarray(tower.apply(variables, v, train=False))
+
+    qtower = _VideoTower(quant_int8=True)
+    got = np.asarray(qtower.apply(variables, v, train=False))
+
+    assert got.shape == ref.shape
+    # relative error of the feature vectors, not elementwise (features are
+    # ~zero-mean; elementwise rtol is meaningless at zero crossings)
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.08, f"int8 trunk relative error {rel:.4f}"
+    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.995, f"int8/fp32 feature correlation {corr:.4f}"
