@@ -91,6 +91,33 @@ def resolve_checkpoint(path: str, prefer: str = "best") -> str:
     return resolved
 
 
+def prune_checkpoints(model_dir: str, keep_latest: int = 1) -> int:
+    """Delete checkpoints except the best-vloss one and the `keep_latest`
+    newest epochs. A full AV TrainState (params + Adam moments) is ~380 MB;
+    the reference's save-every-epoch habit (train_AV_net.py:441-448) costs
+    tens of GB per run without this. Returns the number removed."""
+    import shutil
+
+    if not os.path.isdir(model_dir):
+        return 0
+    entries = []
+    for name in os.listdir(model_dir):
+        m = _CKPT_RE.match(name)
+        if m:
+            entries.append((int(m.group(1)), float(m.group(2)), name))
+    if len(entries) <= keep_latest + 1:
+        return 0
+    keep = {min(entries, key=lambda e: (e[1], -e[0]))[2]}  # best vloss
+    entries.sort(reverse=True)
+    keep.update(name for _, _, name in entries[:keep_latest])
+    removed = 0
+    for _, _, name in entries:
+        if name not in keep:
+            shutil.rmtree(os.path.join(model_dir, name))
+            removed += 1
+    return removed
+
+
 def restore_checkpoint(path: str, state, with_opt: bool = True):
     """Restore into an existing TrainState (template for tree structure).
     `path` may be a model dir (resolves to its best-vloss checkpoint).

@@ -127,7 +127,10 @@ class Trainer:
 
     def fit(self, train_loader: DataLoader, valid_loader: DataLoader,
             start_epoch: int = 1, end_epoch: int = 100,
-            save_every: int = 1) -> dict:
+            save_every: int = 1, keep_checkpoints: int = 3) -> dict:
+        """keep_checkpoints: retain the best-vloss checkpoint plus this many
+        newest epochs, pruning the rest (0 = keep everything, the
+        reference's behavior)."""
         last = {}
         for epoch in range(start_epoch, end_epoch):
             t0 = time.perf_counter()
@@ -150,5 +153,10 @@ class Trainer:
             if epoch % save_every == 0:
                 save_checkpoint(self.model_dir, self.state, self.norm_stats,
                                 epoch=epoch, valid_loss=valid_m.get("loss", 0.0))
+                if keep_checkpoints:
+                    from .checkpoint import prune_checkpoints
+
+                    prune_checkpoints(self.model_dir,
+                                      keep_latest=keep_checkpoints)
             last = {"train": train_m, "valid": valid_m, "epoch": epoch}
         return last

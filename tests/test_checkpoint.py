@@ -87,3 +87,21 @@ def test_resolve_checkpoint_prefers_best_vloss(tmp_path):
     # concrete checkpoint paths pass through untouched
     exact = str(d / "epoch_060_vloss_9.99")
     assert resolve_checkpoint(exact) == exact
+
+
+def test_prune_checkpoints_keeps_best_and_latest(tmp_path):
+    import os
+
+    from avvad_tpu.train.checkpoint import prune_checkpoints
+
+    d = tmp_path / "m"
+    names = ["epoch_001_vloss_4.00", "epoch_002_vloss_1.50",
+             "epoch_003_vloss_2.00", "epoch_004_vloss_3.00",
+             "epoch_005_vloss_5.00"]
+    for n in names:
+        os.makedirs(d / n)
+    removed = prune_checkpoints(str(d), keep_latest=2)
+    left = sorted(os.listdir(d))
+    assert removed == 2
+    assert left == ["epoch_002_vloss_1.50",  # best vloss
+                    "epoch_004_vloss_3.00", "epoch_005_vloss_5.00"]
