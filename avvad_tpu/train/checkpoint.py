@@ -139,7 +139,21 @@ def restore_checkpoint(path: str, state, with_opt: bool = True):
     try:
         payload = ckptr.restore(path, target=None)
     except Exception:
-        payload = ckptr.restore(path, target=template)
+        # target=None restores with the SAVED device topology, which fails
+        # across platforms ("Device TPU v5 lite0 was not found" when a
+        # TPU-written checkpoint is read on CPU). Rebuild the template from
+        # the checkpoint's own metadata as device-free abstract arrays —
+        # this restores every on-disk key (incl. ones absent from `state`,
+        # like norm_stats) onto the default device.
+        md = ckptr.metadata(path)
+        md_tree = md.item_metadata if hasattr(md, "item_metadata") else md
+        sharding = jax.sharding.SingleDeviceSharding(jax.devices()[0])
+        abstract = jax.tree_util.tree_map(
+            lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype,
+                                           sharding=sharding),
+            dict(md_tree),
+        )
+        payload = ckptr.restore(path, target=abstract)
 
     state = state.replace(
         params=payload["params"],

@@ -37,16 +37,19 @@ def main():
     hop = 256
     frame_rate = fs / hop  # 62.5
 
-    # Batch of 32 utterances x ~8.2 s: 262 audio-seconds per step. Larger
-    # batches amortize the (row-bound) LSTM recurrence; ResNet scales
-    # linearly, so B=32 is ~16% faster per audio-second than B=8.
-    b, t = 32, 512
+    # Batch of utterances x ~8.2 s. Larger batches amortize the (row-bound)
+    # LSTM recurrence — per-step LSTM cost is flat to B=128 — while ResNet
+    # scales linearly. Overridable for sweeps: AVVAD_BENCH_B / _INT8.
+    b = int(os.environ.get("AVVAD_BENCH_B", "32"))
+    t = 512
+    tower_int8 = os.environ.get("AVVAD_BENCH_INT8", "0") == "1"
     n_samples = hop * (t - 1) + 1024  # exactly t STFT frames, no end pad
 
     # bf16 towers (+12% vs f32, probabilities agree to <1e-4); the DFT
     # frontend stays fp32-pinned internally.
     model = AVVAD(y_dim=1, lstm_hidden_size=1024, lstm_layers=2, use_mcb=True,
-                  use_pallas_lstm=True, dtype=jnp.bfloat16)
+                  use_pallas_lstm=True, dtype=jnp.bfloat16,
+                  tower_int8=tower_int8)
     rng = jax.random.PRNGKey(0)
     audio_wave = jax.random.normal(rng, (b, n_samples), dtype=jnp.float32)
     video = jax.random.normal(jax.random.PRNGKey(1), (b, t, 67, 67),
