@@ -14,13 +14,29 @@ import jax
 import jax.numpy as jnp
 
 
+def _bce_elementwise(logits: jax.Array, targets: jax.Array,
+                     eps: float) -> jax.Array:
+    """t*log(sigmoid(r)+eps) + (1-t)*log(1-sigmoid(r)+eps), safely.
+
+    `1 - sigmoid(r)` is computed as `sigmoid(-r)` (mathematically exact,
+    always in [0, 1]). Writing the literal `1.0 - p + eps` lets XLA
+    reassociate it to `(1.0 + eps) - p`, where `1.0 + 1e-8 == 1.0` in
+    fp32 — the eps vanishes, saturated logits give log(0) = -inf, and
+    `t * -inf` at t=0 yields NaN. (Observed: AV subset training diverged
+    at epoch 68 once logits saturated; eager evaluation of the same
+    expression was finite.) sigmoid(-r) has no cancellable subtraction and
+    is also more accurate near saturation.
+    """
+    p = jax.nn.sigmoid(logits)
+    one_minus_p = jax.nn.sigmoid(-logits)
+    return (targets * jnp.log(p + eps)
+            + (1.0 - targets) * jnp.log(one_minus_p + eps))
+
+
 def binary_cross_entropy(logits: jax.Array, targets: jax.Array,
                          eps: float = 1e-8) -> jax.Array:
     """-mean( t*log(sigmoid(r)+eps) + (1-t)*log(1-sigmoid(r)+eps) )."""
-    p = jax.nn.sigmoid(logits)
-    return -jnp.mean(
-        targets * jnp.log(p + eps) + (1.0 - targets) * jnp.log(1.0 - p + eps)
-    )
+    return -jnp.mean(_bce_elementwise(logits, targets, eps))
 
 
 def binary_cross_entropy_2classes(p1: jax.Array, p2: jax.Array, targets: jax.Array,
@@ -39,8 +55,7 @@ def masked_sequence_bce(logits: jax.Array, targets: jax.Array, mask: jax.Array,
 
     logits/targets (B, T, y), mask (B, T).
     """
-    p = jax.nn.sigmoid(logits)
-    elt = targets * jnp.log(p + eps) + (1.0 - targets) * jnp.log(1.0 - p + eps)
+    elt = _bce_elementwise(logits, targets, eps)
     elt = elt * mask[..., None]
     # per-sequence mean over (valid frames x y_dim), then sum over batch
     denom = jnp.maximum(mask.sum(axis=1) * logits.shape[-1], 1.0)

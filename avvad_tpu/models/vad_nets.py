@@ -180,8 +180,13 @@ class AVVAD(nn.Module):
             self.mcb = CompactBilinearPooling(
                 self.num_audio_features, self.num_video_features,
                 self.mcb_output_size)
+            # use_fast_variance=False: the default E[x^2]-E[x]^2 formula can
+            # come out slightly NEGATIVE for near-constant channels, and
+            # this BN runs with the reference's tiny eps (1e-8, vs the
+            # trunk's 1e-5), so sqrt(var+eps) would NaN. The two-pass
+            # E[(x-mean)^2] is non-negative by construction.
             self.mcb_bn = nn.BatchNorm(momentum=0.9, epsilon=self.eps,
-                                       axis=-1)
+                                       axis=-1, use_fast_variance=False)
         self.lstm_merged = LSTMStack(self.lstm_hidden_size, self.lstm_layers,
                                      dtype=self.dtype,
                                      use_pallas=self.use_pallas_lstm)

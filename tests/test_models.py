@@ -357,3 +357,35 @@ def test_int8_tower_close_to_fp32():
     assert rel < 0.08, f"int8 trunk relative error {rel:.4f}"
     corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
     assert corr > 0.995, f"int8/fp32 feature correlation {corr:.4f}"
+
+
+def test_masked_bce_finite_at_saturated_logits_under_jit():
+    """Regression: XLA reassociated `1 - p + eps` into `(1 + eps) - p`
+    (eps vanishes in fp32), so saturated logits made log(0) = -inf and
+    `t * -inf` NaN — killing AV subset training at epoch 68. The loss must
+    stay finite under jit for any logit magnitude."""
+    from avvad_tpu.models.losses import (binary_cross_entropy,
+                                         masked_sequence_bce)
+
+    rng = np.random.default_rng(0)
+    logits = jnp.asarray(
+        np.concatenate([np.linspace(-40, 40, 256),
+                        rng.normal(size=256) * 30]).astype(np.float32)
+    ).reshape(1, 512, 1)
+    targets = jnp.asarray((rng.uniform(size=(1, 512, 1)) > 0.5)
+                          .astype(np.float32))
+    mask = jnp.ones((1, 512))
+
+    loss = jax.jit(masked_sequence_bce)(logits, targets, mask)
+    assert np.isfinite(float(loss)), float(loss)
+    loss2 = jax.jit(binary_cross_entropy)(logits, targets)
+    assert np.isfinite(float(loss2)), float(loss2)
+
+    # eps-inside-log parity at moderate logits is untouched
+    lg = jnp.asarray(rng.normal(size=(1, 64, 1)).astype(np.float32) * 3)
+    t = jnp.asarray((rng.uniform(size=(1, 64, 1)) > 0.5).astype(np.float32))
+    p = np.asarray(jax.nn.sigmoid(lg))
+    ref = -np.mean(t * np.log(p + 1e-8) + (1 - np.asarray(t)) *
+                   np.log(1 - p + 1e-8))
+    np.testing.assert_allclose(float(binary_cross_entropy(lg, t)), float(ref),
+                               rtol=1e-5)
