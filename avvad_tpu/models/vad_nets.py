@@ -139,10 +139,15 @@ class VideoVAD(nn.Module):
 
     @nn.compact
     def __call__(self, video: jax.Array, lengths: Optional[jax.Array] = None,
-                 train: bool = False, return_last: bool = False) -> jax.Array:
+                 train: bool = False, return_last: bool = False,
+                 video_frame_indices: Optional[jax.Array] = None) -> jax.Array:
+        """`video_frame_indices`: see AVVAD.__call__ — run the tower on
+        unique source-rate frames and gather onto the label timeline."""
         x = _VideoTower(dtype=self.dtype, remat=self.remat,
                         quant_int8=self.tower_int8,
                         name="tower")(video, train=train)
+        if video_frame_indices is not None:
+            x = jnp.take(x, video_frame_indices, axis=1)
         x = LSTMStack(self.lstm_hidden_size, self.lstm_layers, dtype=self.dtype,
                       use_pallas=self.use_pallas_lstm,
                       name="lstm_video")(x)
@@ -204,8 +209,20 @@ class AVVAD(nn.Module):
 
     def __call__(self, audio: jax.Array, video: jax.Array,
                  lengths: Optional[jax.Array] = None,
-                 train: bool = False) -> jax.Array:
+                 train: bool = False,
+                 video_frame_indices: Optional[jax.Array] = None) -> jax.Array:
+        """With `video_frame_indices` ((T,) int, one entry per audio frame),
+        `video` holds UNIQUE source-rate frames (e.g. the camera's 30 fps,
+        (B, T_src, H, W)) and tower features are gathered onto the audio
+        timeline afterwards. The 62.5 fps timeline is produced from 30 fps
+        by frame DUPLICATION (the ffmpeg fps-filter schedule,
+        processing.video.fps_resample_indices), so the offline pipeline's
+        pre-upsampled video makes the tower recompute every duplicate
+        (~2.08x the unique frames); computing on unique frames + gathering
+        is bit-identical and cuts tower FLOPs ~52%."""
         v = self.tower(video, train=train)
+        if video_frame_indices is not None:
+            v = jnp.take(v, video_frame_indices, axis=1)
         y = self._fuse(audio, v, train)
         y = self.lstm_merged(y)
         y = self.dropout(y, deterministic=not train or self.dropout_rate == 0.0)

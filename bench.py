@@ -39,8 +39,10 @@ def main():
 
     # Batch of utterances x ~8.2 s. Larger batches amortize the (row-bound)
     # LSTM recurrence — per-step LSTM cost is flat to B=128 — while ResNet
-    # scales linearly. Overridable for sweeps: AVVAD_BENCH_B / _INT8.
-    b = int(os.environ.get("AVVAD_BENCH_B", "32"))
+    # scales linearly. Measured (unique-frame tower): B=32 6200x, B=64
+    # 6453x, B=80 6518x, B=96 OOM; B=64 ships (margin from the HBM cliff).
+    # Overridable for sweeps: AVVAD_BENCH_B / _INT8.
+    b = int(os.environ.get("AVVAD_BENCH_B", "64"))
     t = 512
     tower_int8 = os.environ.get("AVVAD_BENCH_INT8", "0") == "1"
     n_samples = hop * (t - 1) + 1024  # exactly t STFT frames, no end pad
@@ -50,12 +52,28 @@ def main():
     model = AVVAD(y_dim=1, lstm_hidden_size=1024, lstm_layers=2, use_mcb=True,
                   use_pallas_lstm=True, dtype=jnp.bfloat16,
                   tower_int8=tower_int8)
+    # Serving ingests the camera's native 30 fps stream: the 62.5 fps video
+    # timeline is pure frame DUPLICATION (ffmpeg fps-filter schedule), so
+    # the tower runs on the ~0.48*t unique source frames and features are
+    # gathered onto the audio timeline — bit-identical to classifying
+    # pre-upsampled video (tests/test_models.py pins it), at ~52% less
+    # tower compute.
+    from avvad_tpu.processing.video import fps_resample_indices
+
+    video_fps = 30.0
+    t_src = int(np.ceil(t * video_fps / frame_rate))
+    while len(fps_resample_indices(t_src, video_fps, frame_rate)) < t:
+        t_src += 1
+    frame_idx = jnp.asarray(
+        fps_resample_indices(t_src, video_fps, frame_rate)[:t])
+
     rng = jax.random.PRNGKey(0)
     audio_wave = jax.random.normal(rng, (b, n_samples), dtype=jnp.float32)
-    video = jax.random.normal(jax.random.PRNGKey(1), (b, t, 67, 67),
+    video = jax.random.normal(jax.random.PRNGKey(1), (b, t_src, 67, 67),
                               dtype=jnp.float32)
     init_audio = jnp.zeros((b, t, 513), dtype=jnp.float32)
-    variables = model.init(jax.random.PRNGKey(2), init_audio, video)
+    variables = model.init(jax.random.PRNGKey(2), init_audio, video,
+                           video_frame_indices=frame_idx)
 
     @jax.jit
     def serve(wave, video):
@@ -63,7 +81,8 @@ def main():
                                    hop_percent=0.25, center=False,
                                    pad_at_end=True)
         feats = feats[:, :t, :]
-        return jax.nn.sigmoid(model.apply(variables, feats, video, train=False))
+        return jax.nn.sigmoid(model.apply(variables, feats, video, train=False,
+                                          video_frame_indices=frame_idx))
 
     # Warm up / compile
     out = serve(audio_wave, video)

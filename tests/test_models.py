@@ -389,3 +389,29 @@ def test_masked_bce_finite_at_saturated_logits_under_jit():
                    np.log(1 - p + 1e-8))
     np.testing.assert_allclose(float(binary_cross_entropy(lg, t)), float(ref),
                                rtol=1e-5)
+
+
+def test_unique_frame_tower_matches_upsampled():
+    """Running the tower on unique 30 fps frames + gathering features onto
+    the 62.5 fps timeline must equal running it on the pre-duplicated
+    (ffmpeg-schedule upsampled) frames — the serving fast path."""
+    from avvad_tpu.models import AVVAD
+    from avvad_tpu.processing.video import fps_resample_indices
+
+    rng = np.random.default_rng(0)
+    b, t_src = 2, 6
+    src = rng.normal(size=(b, t_src, 67, 67)).astype(np.float32)
+    idx = fps_resample_indices(t_src, 30.0, 62.5)
+    t = len(idx)
+    upsampled = src[:, idx]  # what the offline pipeline materializes
+    audio = rng.normal(size=(b, t, 513)).astype(np.float32)
+
+    model = AVVAD(y_dim=1, lstm_hidden_size=32, lstm_layers=1, use_mcb=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(audio),
+                           jnp.asarray(upsampled))
+
+    ref = model.apply(variables, jnp.asarray(audio), jnp.asarray(upsampled),
+                      train=False)
+    fast = model.apply(variables, jnp.asarray(audio), jnp.asarray(src),
+                       train=False, video_frame_indices=jnp.asarray(idx))
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-6)
