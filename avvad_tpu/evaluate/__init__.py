@@ -17,5 +17,6 @@ from .stats import (
     mean_confidence_interval,
     si_sdr_components,
 )
-from .predict import evaluate_split, prediction_paths, write_predictions
+from .predict import (calibrate_quant_scales, evaluate_split,
+                      prediction_paths, write_predictions)
 from .classify import compute_metrics_utt, score_split, score_video_split

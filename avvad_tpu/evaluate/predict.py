@@ -39,6 +39,44 @@ def write_predictions(classif_data_dir: str, proc_noisy_rel_path: str,
     np.save(soft_path, y_hat_soft)
 
 
+def calibrate_quant_scales(state, model, source, modality: str,
+                           norm_stats: Optional[dict] = None,
+                           n_utts: int = 8, batch_size: int = 4,
+                           bucket: int = 128, eps: float = 1e-8):
+    """Record int8 activation scales for `tower_quant_mode="static"`.
+
+    Runs up to `n_utts` utterances from `source` (normally the train
+    split) through `model` cloned into calibrate mode — with exactly the
+    normalization the predict step applies — accumulating per-point
+    max-abs into the `quant` collection. Returns `state` with
+    `state.quant` populated; serve/evaluate the static-mode model with it.
+    """
+    import jax
+
+    from ..train.steps import _forward_inputs
+
+    cal_model = model.clone(tower_quant_mode="calibrate")
+
+    @jax.jit
+    def cal_step(variables, batch):
+        inputs = _forward_inputs(modality, batch, norm_stats, eps)
+        _, mutated = cal_model.apply(variables, *inputs, train=False,
+                                     mutable=["quant"])
+        return mutated["quant"]
+
+    variables = state.variables()
+    loader = DataLoader(source, batch_size=batch_size, shuffle=False,
+                        bucket=bucket, pad_batch_to_full=True)
+    seen = 0
+    for batch in loader:
+        variables = dict(variables)
+        variables["quant"] = cal_step(variables, batch)
+        seen += int((np.asarray(batch.indices) >= 0).sum())
+        if seen >= n_utts:
+            break
+    return state.replace(quant=jax.device_get(variables["quant"]))
+
+
 def evaluate_split(
     state,
     source,

@@ -13,6 +13,7 @@ from .lstm import LSTMStack, lstm_import_torch_weights
 from .resnet import ResNet18
 from .mcb import CompactBilinearPooling, count_sketch_matrix
 from .vad_nets import AudioVAD, VideoVAD, AVVAD, RawAudioVAD
+from .quantize import calibrate as calibrate_int8
 from .wavenet import WaveNetEncoder
 from .losses import (
     binary_cross_entropy,

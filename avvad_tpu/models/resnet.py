@@ -22,63 +22,136 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def _int8_dynamic_conv(x: jax.Array, kernel: jax.Array, strides, padding,
-                       out_dtype) -> jax.Array:
-    """W8A8 conv with int32 MXU accumulation and dynamic quantization.
-
-    The v5e MXU runs int8 x int8 at twice the bf16 rate; for the
-    compute-bound video tower that headroom is the point. Scales: symmetric
-    per-output-channel for weights, symmetric per-tensor (computed on the
-    fly, one fused reduce) for activations. Inference-only (round() kills
-    gradients by design)."""
+def _weight_qparams(kernel: jax.Array):
+    """Symmetric per-output-channel int8 weight quantization. Recomputed
+    from the stored float param per call (the kernel is tiny next to the
+    activations; checkpoints stay float and torch-importable)."""
     w_scale = jnp.maximum(
         jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-8) / 127.0  # (O,)
     w_q = jnp.round(kernel / w_scale).astype(jnp.int8)
-    x_scale = jnp.maximum(jnp.max(jnp.abs(x)), 1e-8) / 127.0
-    x_q = jnp.round(x / x_scale).astype(jnp.int8)
-    y = jax.lax.conv_general_dilated(
+    return w_q, w_scale
+
+
+def _conv_i8(x_q: jax.Array, w_q: jax.Array, strides, padding) -> jax.Array:
+    """int8 x int8 -> int32 MXU conv (2x the bf16 rate on v5e). Zero padding
+    is exact: symmetric quantization maps 0.0 to 0."""
+    return jax.lax.conv_general_dilated(
         x_q, w_q, window_strides=strides, padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
-    return (y.astype(jnp.float32) * (x_scale * w_scale)).astype(out_dtype)
 
 
-class QConv(nn.Module):
-    """nn.Conv stand-in (same "kernel" param name/shape, no bias) that runs
-    the int8 dynamic-quantization path. Checkpoints are unaffected: the
-    stored parameter stays float."""
+def _act_quant(mod: nn.Module, x: jax.Array, name: str, mode: str):
+    """Quantize an activation tensor to (int8, scalar scale).
+
+    mode="dynamic": per-tensor max-abs computed on the fly. Costs an extra
+    full read of the f32 tensor (the reduce) and forces the f32 buffer to
+    materialize — this is why dynamic W8A8 barely beat bf16 in round 1.
+    mode="calibrate": like dynamic, but also records the running max into
+    the mutable `quant` collection (apply with mutable=["quant"]).
+    mode="static": uses the calibrated scale — the whole quantize chain is
+    elementwise with a constant scale, so XLA fuses it into the producer's
+    epilogue and the activation materializes in HBM as int8 (4x less
+    activation bandwidth than f32, no extra passes)."""
+    if mode == "dynamic":
+        amax = jnp.maximum(jnp.max(jnp.abs(x)), 1e-8)
+    else:
+        var = mod.variable("quant", name,
+                           lambda: jnp.zeros((), jnp.float32))
+        if mode == "calibrate":
+            batch_max = jnp.max(jnp.abs(x))
+            if not mod.is_initializing():
+                var.value = jnp.maximum(var.value, batch_max)
+            amax = jnp.maximum(batch_max, 1e-8)
+        elif mode == "static":
+            amax = jnp.maximum(var.value, 1e-8)
+        else:
+            raise ValueError(f"unknown quant mode: {mode!r}")
+    scale = amax / 127.0
+    x_q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return x_q, scale
+
+
+def _max_pool_i8(x_q: jax.Array, window=(3, 3), strides=(2, 2),
+                 padding=((1, 1), (1, 1))) -> jax.Array:
+    """Max pool on int8 (max commutes with the monotone quantization map,
+    so pooling the quantized stem is exact vs quantizing the pooled stem).
+    flax.nn.max_pool inits with -inf, which is float-only."""
+    return jax.lax.reduce_window(
+        x_q, jnp.int8(-128), jax.lax.max,
+        window_dimensions=(1,) + window + (1,),
+        window_strides=(1,) + strides + (1,),
+        padding=((0, 0),) + tuple(padding) + ((0, 0),),
+    )
+
+
+class _QConvInt8(nn.Module):
+    """W8A8 conv on pre-quantized input: (x_q int8, x_scale) -> f32 output.
+    Same param name/shape as nn.Conv (kernel, HWIO, no bias), so the param
+    tree — and therefore checkpoints and the torch importer — are identical
+    to the float path."""
 
     features: int
     kernel_size: tuple
     strides: tuple = (1, 1)
-    padding: object = "SAME"
-    dtype: jnp.dtype = jnp.float32
-    use_bias: bool = False  # signature parity with nn.Conv; must be False
+    padding: object = ((1, 1), (1, 1))
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x_q: jax.Array, x_scale: jax.Array) -> jax.Array:
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(),
-            self.kernel_size + (x.shape[-1], self.features))
-        return _int8_dynamic_conv(x, kernel, self.strides, self.padding,
-                                  self.dtype)
+            self.kernel_size + (x_q.shape[-1], self.features))
+        w_q, w_scale = _weight_qparams(kernel)
+        y = _conv_i8(x_q, w_q, self.strides, tuple(self.padding))
+        return y.astype(jnp.float32) * (x_scale * w_scale)
 
 
 class BasicBlock(nn.Module):
+    """Two 3x3 convs + identity/1x1-downsample shortcut.
+
+    When `quant_int8` is set the block is int8-resident: it takes and
+    returns `(x_q int8, x_scale)` so inter-block activation buffers live in
+    HBM as int8 — the convs run on the MXU's int8 path and the residual is
+    reconstructed from the quantized input (one cheap dequant that fuses
+    into the add). Float path is unchanged."""
+
     features: int
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
     norm_eps: float = 1e-5
     quant_int8: bool = False
+    quant_mode: str = "dynamic"  # dynamic | calibrate | static
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        conv_cls = QConv if self.quant_int8 else nn.Conv
-        conv = partial(conv_cls, use_bias=False, dtype=self.dtype)
+    def __call__(self, x, train: bool = False):
         norm = partial(nn.BatchNorm, use_running_average=not train, momentum=0.9,
                        epsilon=self.norm_eps, dtype=jnp.float32)
 
+        if self.quant_int8:
+            x_q, x_scale = x
+            y = _QConvInt8(self.features, (3, 3),
+                           strides=(self.stride, self.stride),
+                           name="conv1")(x_q, x_scale)
+            y = norm(name="bn1")(y)
+            y = nn.relu(y)
+            y_q, y_scale = _act_quant(self, y, "q1", self.quant_mode)
+            y = _QConvInt8(self.features, (3, 3), name="conv2")(y_q, y_scale)
+            y = norm(name="bn2")(y)
+
+            if self.stride != 1 or x_q.shape[-1] != self.features:
+                residual = _QConvInt8(self.features, (1, 1),
+                                      strides=(self.stride, self.stride),
+                                      padding=((0, 0), (0, 0)),
+                                      name="downsample_conv")(x_q, x_scale)
+                residual = norm(name="downsample_bn")(residual)
+            else:
+                residual = x_q.astype(jnp.float32) * x_scale
+
+            out = nn.relu(y + residual)
+            return _act_quant(self, out, "q_out", self.quant_mode)
+
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype)
         residual = x
         y = conv(self.features, (3, 3), strides=(self.stride, self.stride),
                  padding=[(1, 1), (1, 1)], name="conv1")(x)
@@ -146,10 +219,13 @@ class _StemS2D(nn.Module):
 
 class _StemGray(nn.Module):
     """Stem conv for channel-replicated inputs: (N, H, W, 1) with the
-    (7,7,3,64) kernel summed over its input-channel axis (exact)."""
+    (7,7,3,64) kernel summed over its input-channel axis (exact).
+
+    Stays float even in the quantized trunk: the 7x7x1 contraction (K=49)
+    underfills the MXU either way, the raw-pixel input is tiny next to the
+    stage activations, and a float stem spares the input a quantization."""
 
     dtype: jnp.dtype = jnp.float32
-    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -157,9 +233,6 @@ class _StemGray(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (7, 7, 3, 64)
         )
         k1 = jnp.sum(kernel, axis=2, keepdims=True)
-        if self.quant_int8:
-            return _int8_dynamic_conv(x, k1, (2, 2), [(3, 3), (3, 3)],
-                                      self.dtype)
         return jax.lax.conv_general_dilated(
             x.astype(self.dtype), k1.astype(self.dtype), window_strides=(2, 2),
             padding=[(3, 3), (3, 3)],
@@ -180,7 +253,8 @@ class ResNet18(nn.Module):
     norm_eps: float = 1e-5
     stem_s2d: bool = False
     gray_input: bool = False
-    quant_int8: bool = False  # W8A8 dynamic-quant convs (inference only)
+    quant_int8: bool = False  # W8A8 convs in the four stages (inference only)
+    quant_mode: str = "dynamic"  # dynamic | calibrate | static
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -191,8 +265,7 @@ class ResNet18(nn.Module):
             # input channel and skip materializing the RGB repeat (3x less
             # stem input bandwidth). Param stays the (7,7,3,64) torchvision
             # kernel for checkpoint compatibility.
-            x = _StemGray(dtype=self.dtype, quant_int8=self.quant_int8,
-                          name="conv1")(x)
+            x = _StemGray(dtype=self.dtype, name="conv1")(x)
         elif self.stem_s2d:
             x = _StemS2D(dtype=self.dtype, name="conv1")(x)
         else:
@@ -201,7 +274,16 @@ class ResNet18(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=self.norm_eps, dtype=jnp.float32, name="bn1")(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        if self.quant_int8:
+            # Quantize the stem BEFORE the max pool (exact: max commutes
+            # with the monotone quantization map). The stem activation at
+            # (N, 34, 34, 64) is the framework's largest buffer — writing
+            # it as int8 is 4x less HBM and lifts the serving batch OOM
+            # ceiling by the same factor.
+            x_q, x_scale = _act_quant(self, x, "q_stem", self.quant_mode)
+            x = (_max_pool_i8(x_q), x_scale)
+        else:
+            x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
 
         for stage, (n_blocks, width) in enumerate(zip(self.stage_sizes, self.widths)):
             for block in range(n_blocks):
@@ -209,7 +291,10 @@ class ResNet18(nn.Module):
                 x = BasicBlock(width, stride=stride, dtype=self.dtype,
                                norm_eps=self.norm_eps,
                                quant_int8=self.quant_int8,
+                               quant_mode=self.quant_mode,
                                name=f"layer{stage + 1}_{block}")(x, train=train)
 
+        if self.quant_int8:
+            x = x[0].astype(jnp.float32) * x[1]
         x = jnp.mean(x, axis=(1, 2))  # global average pool
         return x.astype(jnp.float32)

@@ -112,6 +112,7 @@ class _VideoTower(nn.Module):
     remat: bool = False
     gray_stem: bool = True  # exact: conv1(repeat(x,3)) == conv(x, sum_c W)
     quant_int8: bool = False  # W8A8 trunk convs (inference only)
+    quant_mode: str = "dynamic"  # dynamic | calibrate | static
 
     @nn.compact
     def __call__(self, video: jax.Array, train: bool = False) -> jax.Array:
@@ -123,6 +124,7 @@ class _VideoTower(nn.Module):
             else ResNet18
         feats = trunk_cls(dtype=self.dtype, gray_input=self.gray_stem,
                           quant_int8=self.quant_int8,
+                          quant_mode=self.quant_mode,
                           name="features")(frames, train)
         return feats.reshape(b, t, -1)
 
@@ -135,6 +137,7 @@ class VideoVAD(nn.Module):
     remat: bool = False
     use_pallas_lstm: bool = False
     tower_int8: bool = False  # W8A8 trunk convs (inference only)
+    tower_quant_mode: str = "dynamic"  # dynamic | calibrate | static
     dropout_rate: float = 0.0  # defined-but-disabled in the reference
 
     @nn.compact
@@ -145,6 +148,7 @@ class VideoVAD(nn.Module):
         unique source-rate frames and gather onto the label timeline."""
         x = _VideoTower(dtype=self.dtype, remat=self.remat,
                         quant_int8=self.tower_int8,
+                        quant_mode=self.tower_quant_mode,
                         name="tower")(video, train=train)
         if video_frame_indices is not None:
             x = jnp.take(x, video_frame_indices, axis=1)
@@ -176,11 +180,13 @@ class AVVAD(nn.Module):
     remat: bool = False
     use_pallas_lstm: bool = False
     tower_int8: bool = False  # W8A8 trunk convs (inference only)
+    tower_quant_mode: str = "dynamic"  # dynamic | calibrate | static
     dropout_rate: float = 0.0  # reference Dropout(0.05), never enabled
 
     def setup(self):
         self.tower = _VideoTower(dtype=self.dtype, remat=self.remat,
-                                 quant_int8=self.tower_int8)
+                                 quant_int8=self.tower_int8,
+                                 quant_mode=self.tower_quant_mode)
         if self.use_mcb:
             self.mcb = CompactBilinearPooling(
                 self.num_audio_features, self.num_video_features,

@@ -168,6 +168,10 @@ class StreamHub:
             self._lib.hub_destroy(self._h)
             self._h = None
 
+    @property
+    def is_native(self) -> bool:
+        return self._lib is not None
+
     def reset(self) -> None:
         if self._lib is not None:
             self._lib.hub_reset(self._h)

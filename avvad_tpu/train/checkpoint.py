@@ -38,6 +38,8 @@ def save_checkpoint(model_dir: str, state, norm_stats: Optional[dict] = None,
         payload["batch_stats"] = state.batch_stats
     if state.sketch is not None:
         payload["sketch"] = state.sketch
+    if state.quant is not None:
+        payload["quant"] = state.quant
     if norm_stats:
         payload["norm_stats"] = {k: np.asarray(v) for k, v in norm_stats.items()
                                  if v is not None}
@@ -159,6 +161,7 @@ def restore_checkpoint(path: str, state, with_opt: bool = True):
         params=payload["params"],
         batch_stats=payload.get("batch_stats", state.batch_stats),
         sketch=payload.get("sketch", state.sketch),
+        quant=payload.get("quant", state.quant),
         step=payload.get("step", state.step),
     )
     if with_opt and "opt_state" in payload:

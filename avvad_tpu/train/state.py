@@ -17,6 +17,7 @@ class TrainState(struct.PyTreeNode):
     opt_state: Any
     apply_fn: Callable = struct.field(pytree_node=False)
     tx: optax.GradientTransformation = struct.field(pytree_node=False)
+    quant: Any = None  # calibrated int8 activation scales (models/quantize)
 
     def variables(self) -> dict:
         v = {"params": self.params}
@@ -24,6 +25,8 @@ class TrainState(struct.PyTreeNode):
             v["batch_stats"] = self.batch_stats
         if self.sketch is not None:
             v["sketch"] = self.sketch
+        if self.quant is not None:
+            v["quant"] = self.quant
         return v
 
     def apply_gradients(self, grads) -> "TrainState":
@@ -84,4 +87,5 @@ def create_train_state(model, rng, example_inputs: tuple, tx=None,
         opt_state=tx.init(params),
         apply_fn=model.apply,
         tx=tx,
+        quant=variables.get("quant"),
     )

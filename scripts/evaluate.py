@@ -40,7 +40,15 @@ def parse_args():
     p.add_argument("--lstm-layers", type=int, default=2)
     p.add_argument("--mcb", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--tower-int8", action="store_true",
-                   help="W8A8 dynamic-quant video trunk (2x MXU int8 rate)")
+                   help="W8A8 video trunk (2x MXU int8 rate)")
+    p.add_argument("--tower-quant-mode", default="dynamic",
+                   choices=["dynamic", "static"],
+                   help="int8 activation scales: per-tensor on the fly, or "
+                        "calibrated static scales (int8-resident trunk; "
+                        "fastest — see models/quantize.py)")
+    p.add_argument("--calibrate-split", default="train",
+                   help="split that provides int8 calibration utterances")
+    p.add_argument("--calibrate-utts", type=int, default=8)
     p.add_argument("--pallas-lstm", action="store_true",
                    help="use the weight-stationary Pallas LSTM kernel")
     p.add_argument("--data-parallel", type=int, default=0,
@@ -62,28 +70,36 @@ def main():
     y_dim = LabelConfig(kind=args.labels).y_dim
 
     if args.modality == "audio":
-        source = AudioSequenceSource(processed, args.split, args.dataset_size,
-                                     args.labels, upsampled=args.upsampled)
+        def make_source(split):
+            return AudioSequenceSource(processed, split, args.dataset_size,
+                                       args.labels, upsampled=args.upsampled)
+        source = make_source(args.split)
         model = AudioVAD(y_dim=y_dim, lstm_hidden_size=args.lstm_hidden,
                          lstm_layers=args.lstm_layers,
                          use_pallas_lstm=args.pallas_lstm)
         example = (jnp.zeros((1, 8, 513)),)
     elif args.modality == "video":
-        source = VideoSequenceSource(processed, args.split, args.labels,
-                                     upsampled=args.upsampled)
+        def make_source(split):
+            return VideoSequenceSource(processed, split, args.labels,
+                                       upsampled=args.upsampled)
+        source = make_source(args.split)
         model = VideoVAD(y_dim=y_dim, lstm_hidden_size=args.lstm_hidden,
                          lstm_layers=args.lstm_layers,
                          use_pallas_lstm=args.pallas_lstm,
-                         tower_int8=args.tower_int8)
+                         tower_int8=args.tower_int8,
+                         tower_quant_mode=args.tower_quant_mode)
         example = (jnp.zeros((1, 4, 67, 67)),)
     else:
-        source = AudioVisualSource(processed, args.split, args.dataset_size,
-                                   args.labels, upsampled=args.upsampled,
-                                   video_variant=args.video_variant)
+        def make_source(split):
+            return AudioVisualSource(processed, split, args.dataset_size,
+                                     args.labels, upsampled=args.upsampled,
+                                     video_variant=args.video_variant)
+        source = make_source(args.split)
         model = AVVAD(y_dim=y_dim, lstm_hidden_size=args.lstm_hidden,
                       lstm_layers=args.lstm_layers, use_mcb=args.mcb,
                       use_pallas_lstm=args.pallas_lstm,
-                      tower_int8=args.tower_int8)
+                      tower_int8=args.tower_int8,
+                      tower_quant_mode=args.tower_quant_mode)
         example = (jnp.zeros((1, 4, 513)), jnp.zeros((1, 4, 67, 67)))
 
     print(f"{args.split} utterances: {len(source)}")
@@ -92,6 +108,16 @@ def main():
                                                   with_opt=False)
     print(f"restored checkpoint epoch {epoch}; norm stats: "
           f"{sorted(norm_stats) if norm_stats else None}")
+
+    if args.tower_int8 and args.tower_quant_mode == "static":
+        from avvad_tpu.evaluate import calibrate_quant_scales
+
+        cal_source = make_source(args.calibrate_split)
+        state = calibrate_quant_scales(state, model, cal_source,
+                                       args.modality, norm_stats=norm_stats,
+                                       n_utts=args.calibrate_utts)
+        print(f"calibrated int8 scales on {args.calibrate_utts} "
+              f"{args.calibrate_split} utterances")
 
     mesh = None
     if args.data_parallel:
