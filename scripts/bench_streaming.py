@@ -104,6 +104,19 @@ def main():
               f"{block_sec * 1e3:.0f} ms blocks -> {agg:6.1f}x aggregate "
               f"real time | latency budget headroom {budget:4.1f}x")
 
+    # dispatch floor: the same per-tick host->device transfer through a
+    # trivial jitted op, fetched per tick — the latency this backend charges
+    # for ANY round trip of this shape, model aside
+    blocks = np.zeros((args.streams, args.block_frames, nfft), np.float32)
+    trivial = jax.jit(lambda x: jnp.sum(x, axis=(1, 2)))
+    _ = np.asarray(trivial(jnp.asarray(blocks)))
+    t0 = time.perf_counter()
+    for _ in range(args.ticks):
+        _ = np.asarray(trivial(jnp.asarray(blocks)))
+    floor = (time.perf_counter() - t0) / args.ticks
+    print(f"dispatch+transfer floor (same input shape, trivial op): "
+          f"{floor * 1e3:6.1f} ms/tick")
+
 
 if __name__ == "__main__":
     main()

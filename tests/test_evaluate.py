@@ -210,3 +210,37 @@ def test_score_video_split(root, tmp_path):
     stats = score_video_split(src, root, d, verbose=False)
     assert "by_speaker" in stats and "08F" in stats["by_speaker"]
     assert 0.0 <= stats["overall"]["accuracy"]["avg"] <= 1.0
+
+
+def test_calibrate_quant_scales_and_static_eval(root, tmp_path):
+    """int8 serving flow on real fixture data: calibrate activation scales
+    on the train split, then evaluate the test split with the static
+    int8-resident tower (models/quantize.py; evaluate.py --tower-int8
+    --tower-quant-mode static)."""
+    from avvad_tpu.data import AudioVisualSource
+    from avvad_tpu.evaluate import calibrate_quant_scales
+    from avvad_tpu.models import AVVAD
+
+    kw = dict(y_dim=1, lstm_hidden_size=16, lstm_layers=1, use_mcb=False)
+    model = AVVAD(**kw, tower_int8=True, tower_quant_mode="static")
+    example = (jnp.zeros((1, 8, 513)), jnp.zeros((1, 8, 67, 67)))
+    state = create_train_state(model, jax.random.PRNGKey(0), example)
+    assert state.quant is not None  # init creates the collection
+
+    cal_src = AudioVisualSource(root, "train", "subset", "vad_labels",
+                                upsampled=False, video_variant="upsampled")
+    state = calibrate_quant_scales(state, model, cal_src, "av", n_utts=1,
+                                   batch_size=1, bucket=64)
+    scales = np.asarray(jax.tree_util.tree_leaves(state.quant))
+    assert (scales > 0).all()  # every quant point saw data
+
+    src = AudioVisualSource(root, "test", "subset", "vad_labels",
+                            upsampled=False, video_variant="upsampled")
+    classif_dir = str(tmp_path / "classif_q") + os.sep
+    report = evaluate_split(state, src, "av", classif_dir, batch_size=1,
+                            bucket=64, verbose=False)
+    assert report["n_utterances"] == len(src)
+    for i in range(len(src)):
+        _, soft = prediction_paths(classif_dir, src.rel_path(i))
+        y = np.load(soft)
+        assert np.isfinite(y).all() and (0 <= y).all() and (y <= 1).all()
