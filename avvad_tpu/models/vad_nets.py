@@ -106,13 +106,30 @@ class _VideoTower(nn.Module):
     The frame batch is flattened to (B*T, H, W, 3) so the convs see one
     large MXU-friendly batch (the hot loop of the whole framework).
     `remat=True` rematerializes the trunk in the backward pass, trading
-    FLOPs for activation memory so bigger (B*T) frame batches fit HBM."""
+    FLOPs for activation memory so bigger (B*T) frame batches fit HBM.
+
+    `chunk`: inference-only activation-memory bound. When the flattened
+    frame batch exceeds `chunk`, the trunk runs as a lax.scan over
+    `chunk`-frame slices (params/batch_stats/quant broadcast, so the
+    variable tree — and therefore checkpoints — are identical to the
+    single-pass trunk, and compile time stays O(1) in the chunk count).
+    Peak trunk activation memory is then set by `chunk`, not by B*T,
+    which lifts the serving-batch OOM ceiling; per-frame MXU efficiency
+    is preserved for chunks of a few thousand frames. Frames are
+    row-independent through the trunk, so the float trunk is exact
+    (~1e-6); the int8 trunk matches modulo occasional +-1-LSB rounding
+    flips on quantization-boundary values (shape-dependent fusion order
+    perturbs pre-quant activations by ~2e-7), bounded well inside the
+    int8-vs-f32 noise floor. Ignored in training (BatchNorm batch stats
+    must see the whole frame batch) and during quant calibration (the
+    `quant` collection is mutable there, while the scan broadcasts it)."""
 
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     gray_stem: bool = True  # exact: conv1(repeat(x,3)) == conv(x, sum_c W)
     quant_int8: bool = False  # W8A8 trunk convs (inference only)
     quant_mode: str = "dynamic"  # dynamic | calibrate | static
+    chunk: int = 0  # frames per trunk pass; 0 = single pass
 
     @nn.compact
     def __call__(self, video: jax.Array, train: bool = False) -> jax.Array:
@@ -122,10 +139,27 @@ class _VideoTower(nn.Module):
             frames = jnp.repeat(frames, 3, axis=-1)  # replicate to RGB
         trunk_cls = nn.remat(ResNet18, static_argnums=(2,)) if self.remat \
             else ResNet18
-        feats = trunk_cls(dtype=self.dtype, gray_input=self.gray_stem,
+        trunk = trunk_cls(dtype=self.dtype, gray_input=self.gray_stem,
                           quant_int8=self.quant_int8,
                           quant_mode=self.quant_mode,
-                          name="features")(frames, train)
+                          name="features")
+        n = b * t
+        chunkable = (self.chunk and n > self.chunk and not train
+                     and not (self.quant_int8 and self.quant_mode == "calibrate"))
+        if chunkable:
+            c = self.chunk
+            k = -(-n // c)  # ceil; pad rows are dropped after the scan
+            fp = jnp.pad(frames, ((0, k * c - n),) + ((0, 0),) * 3)
+            fp = fp.reshape((k, c) + fp.shape[1:])
+            scan = nn.scan(
+                lambda mod, carry, x: (carry, mod(x, False)),
+                variable_broadcast=["params", "batch_stats", "quant"],
+                split_rngs={"params": False},
+                in_axes=0, out_axes=0)
+            _, feats = scan(trunk, None, fp)
+            feats = feats.reshape(k * c, -1)[:n]
+        else:
+            feats = trunk(frames, train)
         return feats.reshape(b, t, -1)
 
 
@@ -138,6 +172,7 @@ class VideoVAD(nn.Module):
     use_pallas_lstm: bool = False
     tower_int8: bool = False  # W8A8 trunk convs (inference only)
     tower_quant_mode: str = "dynamic"  # dynamic | calibrate | static
+    tower_chunk: int = 0  # frames per trunk pass (see _VideoTower.chunk)
     dropout_rate: float = 0.0  # defined-but-disabled in the reference
 
     @nn.compact
@@ -149,6 +184,7 @@ class VideoVAD(nn.Module):
         x = _VideoTower(dtype=self.dtype, remat=self.remat,
                         quant_int8=self.tower_int8,
                         quant_mode=self.tower_quant_mode,
+                        chunk=self.tower_chunk,
                         name="tower")(video, train=train)
         if video_frame_indices is not None:
             x = jnp.take(x, video_frame_indices, axis=1)
@@ -181,12 +217,14 @@ class AVVAD(nn.Module):
     use_pallas_lstm: bool = False
     tower_int8: bool = False  # W8A8 trunk convs (inference only)
     tower_quant_mode: str = "dynamic"  # dynamic | calibrate | static
+    tower_chunk: int = 0  # frames per trunk pass (see _VideoTower.chunk)
     dropout_rate: float = 0.0  # reference Dropout(0.05), never enabled
 
     def setup(self):
         self.tower = _VideoTower(dtype=self.dtype, remat=self.remat,
                                  quant_int8=self.tower_int8,
-                                 quant_mode=self.tower_quant_mode)
+                                 quant_mode=self.tower_quant_mode,
+                                 chunk=self.tower_chunk)
         if self.use_mcb:
             self.mcb = CompactBilinearPooling(
                 self.num_audio_features, self.num_video_features,

@@ -50,6 +50,11 @@ def main():
     # with f32 to 1.5% rel / corr 0.9998 (test_int8_tower_close_to_fp32)
     # and the trained-model quality gate is in QUALITY.md.
     int8_mode = int(os.environ.get("AVVAD_BENCH_INT8", "2"))
+    # AVVAD_BENCH_CHUNK: frames per tower pass (0 = single pass over all
+    # B*T_src frames). Chunking scans the trunk over fixed-size frame
+    # slices so peak tower activation memory is set by the chunk, not the
+    # batch — lifting the B>=96 OOM ceiling (see _VideoTower.chunk).
+    tower_chunk = int(os.environ.get("AVVAD_BENCH_CHUNK", "0"))
     n_samples = hop * (t - 1) + 1024  # exactly t STFT frames, no end pad
 
     # bf16 towers (+12% vs f32, probabilities agree to <1e-4); the DFT
@@ -57,7 +62,8 @@ def main():
     model = AVVAD(y_dim=1, lstm_hidden_size=1024, lstm_layers=2, use_mcb=True,
                   use_pallas_lstm=True, dtype=jnp.bfloat16,
                   tower_int8=int8_mode > 0,
-                  tower_quant_mode="static" if int8_mode == 2 else "dynamic")
+                  tower_quant_mode="static" if int8_mode == 2 else "dynamic",
+                  tower_chunk=tower_chunk)
     # Serving ingests the camera's native 30 fps stream: the 62.5 fps video
     # timeline is pure frame DUPLICATION (ffmpeg fps-filter schedule), so
     # the tower runs on the ~0.48*t unique source frames and features are

@@ -46,6 +46,10 @@ def parse_args():
                    help="int8 activation scales: per-tensor on the fly, or "
                         "calibrated static scales (int8-resident trunk; "
                         "fastest — see models/quantize.py)")
+    p.add_argument("--tower-chunk", type=int, default=0,
+                   help="frames per video-trunk pass (0 = single pass); "
+                        "bounds peak tower activation memory for large "
+                        "batch x bucket products")
     p.add_argument("--calibrate-split", default="train",
                    help="split that provides int8 calibration utterances")
     p.add_argument("--calibrate-utts", type=int, default=8)
@@ -87,7 +91,8 @@ def main():
                          lstm_layers=args.lstm_layers,
                          use_pallas_lstm=args.pallas_lstm,
                          tower_int8=args.tower_int8,
-                         tower_quant_mode=args.tower_quant_mode)
+                         tower_quant_mode=args.tower_quant_mode,
+                         tower_chunk=args.tower_chunk)
         example = (jnp.zeros((1, 4, 67, 67)),)
     else:
         def make_source(split):
@@ -99,7 +104,8 @@ def main():
                       lstm_layers=args.lstm_layers, use_mcb=args.mcb,
                       use_pallas_lstm=args.pallas_lstm,
                       tower_int8=args.tower_int8,
-                      tower_quant_mode=args.tower_quant_mode)
+                      tower_quant_mode=args.tower_quant_mode,
+                      tower_chunk=args.tower_chunk)
         example = (jnp.zeros((1, 4, 513)), jnp.zeros((1, 4, 67, 67)))
 
     print(f"{args.split} utterances: {len(source)}")

@@ -434,3 +434,44 @@ def test_unique_frame_tower_matches_upsampled():
     fast = model.apply(variables, jnp.asarray(audio), jnp.asarray(src),
                        train=False, video_frame_indices=jnp.asarray(idx))
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-6)
+
+
+def test_chunked_tower_matches_single_pass():
+    """`tower_chunk` bounds peak trunk activation memory by scanning the
+    trunk over frame slices; frames are row-independent through the trunk,
+    so outputs must match the single-pass tower and the variable tree must
+    be unchanged (checkpoint compatibility). Covers the padded tail
+    (B*T not divisible by chunk) and the int8-static trunk."""
+    from avvad_tpu.models import AVVAD
+    from avvad_tpu.models.quantize import calibrate
+
+    rng = np.random.default_rng(1)
+    b, t = 2, 7  # 14 frames; chunk=4 -> 4 slices with a 2-frame pad tail
+    video = rng.normal(size=(b, t, 67, 67)).astype(np.float32)
+    audio = rng.normal(size=(b, t, 513)).astype(np.float32)
+
+    for int8 in (False, True):
+        kw = dict(y_dim=1, lstm_hidden_size=32, lstm_layers=1, use_mcb=False,
+                  tower_int8=int8,
+                  tower_quant_mode="static" if int8 else "dynamic")
+        ref_model = AVVAD(**kw)
+        chunked = AVVAD(**kw, tower_chunk=4)
+        variables = ref_model.init(jax.random.PRNGKey(0), jnp.asarray(audio),
+                                   jnp.asarray(video))
+        if int8:
+            cal = ref_model.clone(tower_quant_mode="calibrate")
+            variables = calibrate(cal, variables,
+                                  [(jnp.asarray(audio), jnp.asarray(video))],
+                                  train=False)
+        # same variable tree consumed directly: chunking must not rename
+        ref = ref_model.apply(variables, jnp.asarray(audio),
+                              jnp.asarray(video), train=False)
+        out = chunked.apply(variables, jnp.asarray(audio), jnp.asarray(video),
+                            train=False)
+        # float trunk: exact. int8 trunk: shape-dependent fusion order
+        # perturbs pre-quant activations ~2e-7, which can flip round() by
+        # one LSB on boundary values — isolated frames then differ within
+        # the int8-vs-f32 noise floor (see _VideoTower docstring).
+        atol = 5e-3 if int8 else 1e-6
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=atol, err_msg=f"int8={int8}")
