@@ -98,13 +98,25 @@ def circular_conv_real(px: jax.Array, py: jax.Array,
 
 
 class CompactBilinearPooling(nn.Module):
-    """MCB of two feature streams: (..., d1), (..., d2) -> (..., out_dim)."""
+    """MCB of two feature streams: (..., d1), (..., d2) -> (..., out_dim).
+
+    `fold_sketch`: contract each sketch matrix into the DFT bases first
+    (x @ M) @ C == x @ (M @ C) — associativity, so the result is the same
+    computation reordered — turning sketch + forward-DFT (three big
+    (N, d_in)->(N, 1024/513) matmuls per modality) into two
+    (N, d_in)->(N, 513) matmuls per modality: ~2x fewer FLOPs end to end.
+    The (d_in, 513) folded bases are rebuilt from the persisted sketch
+    variables per call (a (d_in, 1024)x(1024, 513) matmul — noise next to
+    the batch work) and the folding matmul is always full-precision, so
+    checkpoints, the (h, s) torch-import path, and gradients (autodiff
+    through the same contraction) are unaffected."""
 
     input1_size: int
     input2_size: int
     output_size: int = 1024
     seed: int = 0
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+    fold_sketch: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array, y: jax.Array | None = None) -> jax.Array:
@@ -123,6 +135,18 @@ class CompactBilinearPooling(nn.Module):
         )
         dot = functools.partial(jnp.matmul, precision=self.precision,
                                 preferred_element_type=jnp.float32)
+        if self.fold_sketch:
+            d = self.output_size
+            cos_b, sin_b = (jnp.asarray(b) for b in _rdft_bases(d))
+            mr, mi = (jnp.asarray(b) for b in _irdft_bases(d))
+            hp = functools.partial(jnp.matmul,
+                                   precision=jax.lax.Precision.HIGHEST,
+                                   preferred_element_type=jnp.float32)
+            re_x, im_x = dot(x, hp(m1.value, cos_b)), dot(x, hp(m1.value, sin_b))
+            re_y, im_y = dot(y, hp(m2.value, cos_b)), dot(y, hp(m2.value, sin_b))
+            re_p = re_x * re_y - im_x * im_y
+            im_p = re_x * im_y + im_x * re_y
+            return dot(re_p, mr) + dot(im_p, mi)
         px = dot(x, m1.value)
         py = dot(y, m2.value)
         return circular_conv_real(px, py, precision=self.precision)
@@ -133,9 +157,16 @@ def signed_sqrt(x: jax.Array, eps: float = 1e-8) -> jax.Array:
     return jnp.sign(x) * jnp.sqrt(jnp.abs(x) + eps)
 
 
-def global_l2_normalize(x: jax.Array, eps: float = 1e-12) -> jax.Array:
+def global_l2_normalize(x: jax.Array, eps: float = 1e-12,
+                        axes=None) -> jax.Array:
     """x / ||x||_2 with the norm detached — the reference normalizes by the
     global (whole-tensor) L2 norm and blocks its gradient (AV_Net.py:117).
-    The eps floor guards the all-zero input (where the reference NaNs)."""
-    norm = jax.lax.stop_gradient(jnp.sqrt(jnp.sum(x * x)))
+    The eps floor guards the all-zero input (where the reference NaNs).
+
+    `axes`: reduce the norm over these axes only (keepdims); None = the
+    reference's whole-tensor norm. Batched multi-stream serving passes
+    per-sample axes so independent streams do not couple through the norm."""
+    keep = axes is not None
+    norm = jax.lax.stop_gradient(
+        jnp.sqrt(jnp.sum(x * x, axis=axes, keepdims=keep)))
     return x / jnp.maximum(norm, eps)

@@ -218,6 +218,10 @@ class AVVAD(nn.Module):
     tower_int8: bool = False  # W8A8 trunk convs (inference only)
     tower_quant_mode: str = "dynamic"  # dynamic | calibrate | static
     tower_chunk: int = 0  # frames per trunk pass (see _VideoTower.chunk)
+    # MCB matmul precision. HIGHEST = 6-pass fp32 (parity default); DEFAULT
+    # truncates inputs to bf16 — measured quality-neutral for serving (probs
+    # shift < 1e-3; see BENCH_NOTES.md) at ~6x the MXU rate.
+    mcb_precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
     dropout_rate: float = 0.0  # reference Dropout(0.05), never enabled
 
     def setup(self):
@@ -228,7 +232,7 @@ class AVVAD(nn.Module):
         if self.use_mcb:
             self.mcb = CompactBilinearPooling(
                 self.num_audio_features, self.num_video_features,
-                self.mcb_output_size)
+                self.mcb_output_size, precision=self.mcb_precision)
             # use_fast_variance=False: the default E[x^2]-E[x]^2 formula can
             # come out slightly NEGATIVE for near-constant channels, and
             # this BN runs with the reference's tiny eps (1e-8, vs the
@@ -242,11 +246,16 @@ class AVVAD(nn.Module):
         self.dropout = nn.Dropout(self.dropout_rate)
         self.vad_merged = nn.Dense(self.y_dim)
 
-    def _fuse(self, audio: jax.Array, v: jax.Array, train: bool) -> jax.Array:
+    def _fuse(self, audio: jax.Array, v: jax.Array, train: bool,
+              per_sample_norm: bool = False) -> jax.Array:
         if self.use_mcb:
             y = self.mcb(audio, v)
             y = signed_sqrt(y, self.eps)
-            y = global_l2_normalize(y)
+            # per_sample_norm: L2 over each batch row only, so independent
+            # streams batched through one step do not couple (matches a
+            # solo run, where the "whole tensor" is that one stream)
+            y = global_l2_normalize(
+                y, axes=tuple(range(1, y.ndim)) if per_sample_norm else None)
             # BatchNorm over every (batch, time) position per channel
             return self.mcb_bn(y, use_running_average=not train)
         return jnp.concatenate([audio, v], axis=-1)
@@ -273,15 +282,18 @@ class AVVAD(nn.Module):
         return self.vad_merged(y)
 
     def streaming_head(self, audio_feats: jax.Array, video: jax.Array,
-                       carries):
-        """One streaming block: normalized audio features (1, Tc, 513) +
-        raw video frames (1, Tc, 67, 67) -> (logits, new_carries).
+                       carries, per_stream_norm: bool = False):
+        """One streaming block: normalized audio features (N, Tc, 513) +
+        raw video frames (N, Tc, 67, 67) -> (logits, new_carries).
 
         Streaming caveat: the MCB path's global L2 norm is computed per
         block rather than per utterance (inherent to causality, like the
-        running-peak audio normalization)."""
+        running-peak audio normalization). `per_stream_norm`: compute that
+        norm per batch row — required when N > 1 rows are independent
+        streams (MultiStreamAVVAD), so no cross-stream coupling."""
         v = self.tower(video, train=False)
-        y = self._fuse(audio_feats, v, train=False)
+        y = self._fuse(audio_feats, v, train=False,
+                       per_sample_norm=per_stream_norm)
         out, new_carries = self.lstm_merged(y, carries=carries,
                                             return_carries=True)
         return self.vad_merged(out), new_carries

@@ -104,7 +104,8 @@ def _pad_signal(
 
 
 @functools.partial(jax.jit, static_argnames=("fs", "wlen_sec", "hop_percent",
-                                             "center", "pad_at_end"))
+                                             "center", "pad_at_end",
+                                             "precision"))
 def stft_frames(
     x: jax.Array,
     fs: int = 16000,
@@ -112,6 +113,7 @@ def stft_frames(
     hop_percent: float = 0.25,
     center: bool = False,
     pad_at_end: bool = True,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
 ) -> tuple[jax.Array, jax.Array]:
     """STFT of a (..., n_samples) batch -> (re, im), each (..., n_frames, n_freq).
 
@@ -123,18 +125,21 @@ def stft_frames(
     x = _pad_signal(x, nfft, hop, fs, wlen_sec, hop_percent, center, pad_at_end)
     frames = frame_signal(x, nfft, hop)  # (..., T, nfft)
     cos_b, sin_b = _windowed_dft_bases(nfft)
-    # Precision.HIGHEST: TPU matmuls otherwise truncate inputs to bf16,
-    # which is catastrophic for the log-power of quiet bins (observed ~10
-    # log-units of error on hardware). The DFT is tiny; 6-pass fp32 is free.
-    re = jnp.matmul(frames, jnp.asarray(cos_b), precision=jax.lax.Precision.HIGHEST,
+    # Precision.HIGHEST (default): TPU matmuls otherwise truncate inputs to
+    # bf16, which is catastrophic for the log-power of quiet bins (observed
+    # ~10 log-units of error on hardware) — DEFAULT must not be used here.
+    # HIGH (3-pass bf16) keeps ~21 effective mantissa bits; serving may opt
+    # in where a quality check backs it (see bench.py / BENCH_NOTES.md).
+    re = jnp.matmul(frames, jnp.asarray(cos_b), precision=precision,
                     preferred_element_type=jnp.float32)
-    im = jnp.matmul(frames, jnp.asarray(sin_b), precision=jax.lax.Precision.HIGHEST,
+    im = jnp.matmul(frames, jnp.asarray(sin_b), precision=precision,
                     preferred_element_type=jnp.float32)
     return re, im
 
 
 @functools.partial(jax.jit, static_argnames=("fs", "wlen_sec", "hop_percent",
-                                             "center", "pad_at_end", "peak_norm"))
+                                             "center", "pad_at_end",
+                                             "peak_norm", "precision"))
 def log_power_frontend(
     x: jax.Array,
     fs: int = 16000,
@@ -144,17 +149,19 @@ def log_power_frontend(
     pad_at_end: bool = True,
     eps: float = 1e-8,
     peak_norm: bool = True,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
 ) -> jax.Array:
     """Fused waveform -> log(|STFT|^2 + eps), (..., T, F) float32.
 
     Equivalent to the reference's per-utterance pipeline: peak-normalize,
     torch.stft, power, log (/root/reference/packages/data_handling.py:285-301),
-    as a single compiled computation.
+    as a single compiled computation. `precision`: see stft_frames.
     """
     if peak_norm:
         x = x / jnp.max(jnp.abs(x), axis=-1, keepdims=True)
     re, im = stft_frames(x, fs=fs, wlen_sec=wlen_sec, hop_percent=hop_percent,
-                         center=center, pad_at_end=pad_at_end)
+                         center=center, pad_at_end=pad_at_end,
+                         precision=precision)
     return jnp.log(re * re + im * im + eps)
 
 

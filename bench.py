@@ -55,6 +55,20 @@ def main():
     # slices so peak tower activation memory is set by the chunk, not the
     # batch — lifting the B>=96 OOM ceiling (see _VideoTower.chunk).
     tower_chunk = int(os.environ.get("AVVAD_BENCH_CHUNK", "0"))
+    # MCB matmul precision. The serving default is DEFAULT (bf16 inputs,
+    # f32 accumulation): with the sketch folded into the DFT bases the
+    # fusion is ~6x cheaper than round 1's fp32-HIGHEST path, and measured
+    # probabilities move by max 2.3e-6 vs HIGHEST at this config. HIGHEST
+    # remains the model-class default for reference parity work.
+    mcb_prec = (jax.lax.Precision.HIGHEST
+                if os.environ.get("AVVAD_BENCH_MCB_PREC") == "highest"
+                else jax.lax.Precision.DEFAULT)
+    # Frontend DFT precision stays HIGHEST: HIGH (bf16x3) is ~1 ms faster
+    # but costs up to ~1 log-unit on the quietest bins of real speech
+    # (fine on synthetic noise, not worth the asterisk on real audio).
+    fe_prec = (jax.lax.Precision.HIGH
+               if os.environ.get("AVVAD_BENCH_FE_PREC") == "high"
+               else jax.lax.Precision.HIGHEST)
     n_samples = hop * (t - 1) + 1024  # exactly t STFT frames, no end pad
 
     # bf16 towers (+12% vs f32, probabilities agree to <1e-4); the DFT
@@ -63,7 +77,7 @@ def main():
                   use_pallas_lstm=True, dtype=jnp.bfloat16,
                   tower_int8=int8_mode > 0,
                   tower_quant_mode="static" if int8_mode == 2 else "dynamic",
-                  tower_chunk=tower_chunk)
+                  tower_chunk=tower_chunk, mcb_precision=mcb_prec)
     # Serving ingests the camera's native 30 fps stream: the 62.5 fps video
     # timeline is pure frame DUPLICATION (ffmpeg fps-filter schedule), so
     # the tower runs on the ~0.48*t unique source frames and features are
@@ -102,7 +116,7 @@ def main():
     def serve(wave, video):
         feats = log_power_frontend(wave, fs=fs, wlen_sec=64e-3,
                                    hop_percent=0.25, center=False,
-                                   pad_at_end=True)
+                                   pad_at_end=True, precision=fe_prec)
         feats = feats[:, :t, :]
         return jax.nn.sigmoid(model.apply(variables, feats, video, train=False,
                                           video_frame_indices=frame_idx))
