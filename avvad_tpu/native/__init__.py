@@ -31,7 +31,9 @@ def build(force: bool = False) -> str:
 
 
 def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
-    """Load (building if needed) the library; None if unavailable."""
+    """Load (building if needed) the library; None if unavailable. A
+    stale on-disk .so missing a newer entry point triggers one forced
+    rebuild."""
     global _lib
     if _lib is not None:
         return _lib
@@ -39,6 +41,14 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
         if auto_build:
             build()
         lib = ctypes.CDLL(_LIB_PATH)
+        try:
+            lib.hub_assemble_gated  # newest symbol: probe for staleness
+        except AttributeError:
+            if not auto_build:
+                return None
+            build(force=True)
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.hub_assemble_gated
     except Exception:
         return None
 
@@ -77,6 +87,8 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
     lib.hub_frames_ready.argtypes = [ctypes.c_void_p, ctypes.c_int32]
     lib.hub_assemble.restype = ctypes.c_int32
     lib.hub_assemble.argtypes = [ctypes.c_void_p, fp, fp, fp]
+    lib.hub_assemble_gated.restype = ctypes.c_int32
+    lib.hub_assemble_gated.argtypes = [ctypes.c_void_p, fp, fp, fp, fp]
     _lib = lib
     return lib
 
@@ -214,23 +226,34 @@ class StreamHub:
             return int(self._lib.hub_frames_ready(self._h, stream))
         return self._ready_py(stream)
 
-    def assemble(self):
+    def assemble(self, gate: Optional[np.ndarray] = None):
         """-> (blocks (N, bf, nfft), peaks (N,), active (N,), n_active).
 
+        `gate` ((N,) float, optional): streams with gate == 0 are held
+        back even when audio-ready (their samples stay buffered) — an
+        audio-visual server gates on the video side having a full block.
         The returned arrays are reused across calls — consume (device_put)
         before the next assemble."""
         if self._lib is not None:
             fp = ctypes.POINTER(ctypes.c_float)
-            n_active = self._lib.hub_assemble(
-                self._h, self._out.ctypes.data_as(fp),
-                self._peaks.ctypes.data_as(fp),
-                self._active.ctypes.data_as(fp))
+            if gate is None:
+                n_active = self._lib.hub_assemble(
+                    self._h, self._out.ctypes.data_as(fp),
+                    self._peaks.ctypes.data_as(fp),
+                    self._active.ctypes.data_as(fp))
+            else:
+                gate = np.ascontiguousarray(gate, dtype=np.float32)
+                n_active = self._lib.hub_assemble_gated(
+                    self._h, gate.ctypes.data_as(fp),
+                    self._out.ctypes.data_as(fp),
+                    self._peaks.ctypes.data_as(fp),
+                    self._active.ctypes.data_as(fp))
             return self._out, self._peaks, self._active, int(n_active)
         n_active = 0
         bf, nfft, hop = self.block_frames, self.nfft, self.hop
         for i in range(self.n):
             self._peaks[i] = self._py_peaks[i]
-            if self._ready_py(i) < bf:
+            if (gate is not None and gate[i] == 0.0) or self._ready_py(i) < bf:
                 self._active[i] = 0.0
                 continue
             buf = self._bufs[i]

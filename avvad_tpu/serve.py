@@ -365,3 +365,126 @@ class StreamingAVVAD:
             self.variables, jnp.asarray(fb), jnp.asarray(vb),
             jnp.float32(self._peak), self._carries)
         return np.asarray(probs)[:n]
+
+
+class MultiStreamAVVAD:
+    """N concurrent independent AUDIO-VISUAL streams through ONE jitted
+    step (the AV counterpart of MultiStreamVAD).
+
+    Per stream, raw PCM and STFT-rate-aligned (62.5 fps) lip frames buffer
+    independently; a tick() advances every stream that has a full
+    `block_frames` block of BOTH modalities ready (the audio hub's gated
+    assemble holds back streams whose video lags, keeping their samples
+    buffered). Padded/inactive streams have their fusion-LSTM carries
+    mask-restored, so per-stream results are bit-identical to running each
+    stream alone through StreamingAVVAD. For 30 fps camera input, re-time
+    frames with processing.video.fps_resample_indices before feeding.
+    """
+
+    def __init__(self, model, variables: dict, n_streams: int,
+                 norm_stats: Optional[dict] = None,
+                 stft_cfg: STFTConfig = STFTConfig(),
+                 block_frames: int = 16,
+                 native: bool = True):
+        self.model = model
+        self.variables = variables
+        self.n = n_streams
+        self.cfg = stft_cfg
+        self.block_frames = block_frames
+        self._nfft = stft_cfg.nfft
+        self._hop = stft_cfg.hopsamp
+        from .native import StreamHub
+
+        self._hub = StreamHub(n_streams, self._nfft, self._hop, block_frames,
+                              force_python=not native)
+        cos_b, sin_b = _windowed_dft_bases(self._nfft)
+        self._cos, self._sin = jnp.asarray(cos_b), jnp.asarray(sin_b)
+
+        def stat(key):
+            if norm_stats and norm_stats.get(key) is not None:
+                return jnp.asarray(np.asarray(norm_stats[key]).reshape(-1))
+            return None
+
+        self._a_mean, self._a_std = stat("audio_mean"), stat("audio_std")
+        self._v_mean, self._v_std = stat("video_mean"), stat("video_std")
+        self._vout = np.zeros((n_streams, block_frames, 67, 67), np.float32)
+        self._step = self._build_step()
+        self.reset()
+
+    def reset(self) -> None:
+        self._hub.reset()
+        self._vbufs = [np.zeros((0, 67, 67), np.float32)
+                       for _ in range(self.n)]
+        h = self.model.lstm_hidden_size
+        self._carries = [(jnp.zeros((self.n, h)), jnp.zeros((self.n, h)))
+                         for _ in range(self.model.lstm_layers)]
+
+    def _build_step(self):
+        model = self.model
+        eps = self.cfg.eps
+        cos_b, sin_b = self._cos, self._sin
+        a_mean, a_std = self._a_mean, self._a_std
+        v_mean, v_std = self._v_mean, self._v_std
+        hp = jax.lax.Precision.HIGHEST
+
+        @jax.jit
+        def step(variables, frames, video, peaks, active, carries):
+            # frames (N, bf, nfft); video (N, bf, 67, 67); peaks/active (N,)
+            x = frames / jnp.maximum(peaks, 1e-12)[:, None, None]
+            re = jnp.matmul(x, cos_b, precision=hp)
+            im = jnp.matmul(x, sin_b, precision=hp)
+            feats = jnp.log(re * re + im * im + eps)
+            if a_mean is not None:
+                feats = (feats - a_mean) / (a_std + eps)
+            v = video
+            if v_mean is not None:
+                v = (v - v_mean) / (v_std + eps)
+            logits, new_carries = model.apply(
+                variables, feats, v, carries, per_stream_norm=True,
+                method=model.streaming_head)
+            a = active[:, None]
+            masked = [(a * hn + (1 - a) * ho, a * cn + (1 - a) * co)
+                      for (hn, cn), (ho, co) in zip(new_carries, carries)]
+            return jax.nn.sigmoid(logits[..., 0]), masked
+
+        return step
+
+    def feed(self, stream_idx: int, pcm: Optional[np.ndarray] = None,
+             video_frames: Optional[np.ndarray] = None) -> None:
+        """Buffer samples and/or lip frames for one stream (no compute)."""
+        if pcm is not None and len(pcm):
+            self._hub.feed(stream_idx, np.asarray(pcm, dtype=np.float32))
+        if video_frames is not None and len(video_frames):
+            self._vbufs[stream_idx] = np.concatenate(
+                [self._vbufs[stream_idx],
+                 np.asarray(video_frames, dtype=np.float32)])
+
+    def reset_stream(self, stream_idx: int) -> None:
+        """Recycle one stream slot (buffers, peak, LSTM carries)."""
+        self._hub.reset_stream(stream_idx)
+        self._vbufs[stream_idx] = np.zeros((0, 67, 67), np.float32)
+        self._carries = [
+            (h.at[stream_idx].set(0.0), c.at[stream_idx].set(0.0))
+            for h, c in self._carries
+        ]
+
+    def tick(self, fetch: bool = True) -> dict:
+        """Advance every stream with a full audio AND video block; returns
+        {stream_idx: probs} for streams that produced output. `fetch=False`
+        returns device arrays without synchronizing (see MultiStreamVAD)."""
+        bf = self.block_frames
+        gate = np.fromiter((1.0 if len(v) >= bf else 0.0
+                            for v in self._vbufs), np.float32, self.n)
+        blocks, peaks, active, n_active = self._hub.assemble(gate=gate)
+        if n_active == 0:
+            return {}
+        for i in range(self.n):
+            if active[i]:
+                self._vout[i] = self._vbufs[i][:bf]
+                self._vbufs[i] = self._vbufs[i][bf:]
+        probs, self._carries = self._step(
+            self.variables, jnp.asarray(blocks), jnp.asarray(self._vout),
+            jnp.asarray(peaks), jnp.asarray(active), self._carries)
+        if fetch:
+            probs = np.asarray(probs)
+        return {i: probs[i] for i in range(self.n) if active[i]}

@@ -295,8 +295,13 @@ int64_t hub_frames_ready(void* hub, int32_t stream) {
 // set active_out[i] = 1, record the running peak in peaks_out[i], and
 // consume block_frames*hop samples (the nfft-hop overlap tail stays
 // buffered). Returns the number of active streams.
-int32_t hub_assemble(void* hub, float* out, float* peaks_out,
-                     float* active_out) {
+//
+// The gated variant additionally requires gate[s] != 0 for a stream to be
+// assembled (gate == nullptr means all streams are eligible); a gated-out
+// stream keeps its samples buffered. An audio-visual server uses the gate
+// to hold back streams whose video side has not buffered a full block yet.
+int32_t hub_assemble_gated(void* hub, const float* gate, float* out,
+                           float* peaks_out, float* active_out) {
   auto* h = (StreamHub*)hub;
   if (!h) return AVVAD_ERR_BADARG;
   const int64_t bf = h->block_frames;
@@ -306,7 +311,7 @@ int32_t hub_assemble(void* hub, float* out, float* peaks_out,
   for (int32_t s = 0; s < h->n_streams; ++s) {
     StreamBuf& b = h->bufs[(size_t)s];
     peaks_out[s] = b.peak;
-    if (frames_ready(h, b) < bf) {
+    if ((gate && gate[s] == 0.0f) || frames_ready(h, b) < bf) {
       active_out[s] = 0.0f;
       continue;
     }
@@ -320,6 +325,11 @@ int32_t hub_assemble(void* hub, float* out, float* peaks_out,
     ++n_active;
   }
   return n_active;
+}
+
+int32_t hub_assemble(void* hub, float* out, float* peaks_out,
+                     float* active_out) {
+  return hub_assemble_gated(hub, nullptr, out, peaks_out, active_out);
 }
 
 }  // extern "C"

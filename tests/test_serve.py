@@ -155,3 +155,61 @@ def test_multistream_matches_solo_streams(ref_subset):
         want = solo_outs[i][: len(got)]
         assert len(got) >= len(solo_outs[i]) - 8  # tail < one block differs
         np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_multistream_av_matches_solo_streams(ref_subset):
+    """Each stream of MultiStreamAVVAD must match a solo StreamingAVVAD run
+    (MCB fusion, per-stream L2 norm), including when one stream's video
+    lags behind its audio — the gated hub assemble must hold that stream
+    back without dropping samples."""
+    import glob
+
+    from avvad_tpu.models import AVVAD
+    from avvad_tpu.serve import MultiStreamAVVAD, StreamingAVVAD
+
+    wavs = sorted(glob.glob(os.path.join(
+        ref_subset, "processed/ntcd_timit/Clean/**/*.wav"), recursive=True))[:2]
+    signals = [read_wav(w)[0][:16000] for w in wavs]
+    cfg = STFTConfig()
+    rng = np.random.default_rng(7)
+
+    def n_frames(x):
+        return 1 + (len(x) - cfg.nfft) // cfg.hopsamp
+
+    videos = [rng.normal(size=(n_frames(x), 67, 67)).astype(np.float32)
+              for x in signals]
+
+    model = AVVAD(y_dim=1, lstm_hidden_size=16, lstm_layers=2, use_mcb=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 513)),
+                           jnp.zeros((1, 8, 67, 67)))
+
+    bf = 8
+    solo_outs = []
+    for x, v in zip(signals, videos):
+        sv = StreamingAVVAD(model, variables, stft_cfg=cfg, block_frames=bf,
+                            fixed_peak=float(np.max(np.abs(x))))
+        solo_outs.append(np.concatenate([sv.feed(x, v), sv.flush()]))
+
+    ms = MultiStreamAVVAD(model, variables, n_streams=2, stft_cfg=cfg,
+                          block_frames=bf)
+    # stream 0: both modalities up front; stream 1: audio up front, video
+    # dripped one block per tick (gate exercises)
+    ms.feed(0, pcm=signals[0], video_frames=videos[0])
+    ms.feed(1, pcm=signals[1])
+    collected = [[] for _ in range(2)]
+    v1_pos = 0
+    for _ in range(64):
+        if v1_pos < len(videos[1]):
+            ms.feed(1, video_frames=videos[1][v1_pos:v1_pos + bf])
+            v1_pos += bf
+        out = ms.tick()
+        if not out and v1_pos >= len(videos[1]):
+            break
+        for i, p in out.items():
+            collected[i].append(p)
+
+    for i in range(2):
+        got = np.concatenate(collected[i])
+        want = solo_outs[i][: len(got)]
+        assert len(got) >= len(solo_outs[i]) - bf  # tail < one block differs
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=f"stream {i}")
