@@ -46,6 +46,11 @@ def parse_args():
                    help="int8 activation scales: per-tensor on the fly, or "
                         "calibrated static scales (int8-resident trunk; "
                         "fastest — see models/quantize.py)")
+    p.add_argument("--mcb-fast", action="store_true",
+                   help="run MCB fusion matmuls at DEFAULT precision (bf16 "
+                        "inputs, f32 accumulation; ~6x the MXU rate, probs "
+                        "move ~1e-6 — see BENCH_NOTES.md) instead of the "
+                        "parity default fp32-HIGHEST")
     p.add_argument("--tower-chunk", type=int, default=0,
                    help="frames per video-trunk pass (0 = single pass); "
                         "bounds peak tower activation memory for large "
@@ -105,7 +110,10 @@ def main():
                       use_pallas_lstm=args.pallas_lstm,
                       tower_int8=args.tower_int8,
                       tower_quant_mode=args.tower_quant_mode,
-                      tower_chunk=args.tower_chunk)
+                      tower_chunk=args.tower_chunk,
+                      mcb_precision=(jax.lax.Precision.DEFAULT
+                                     if args.mcb_fast
+                                     else jax.lax.Precision.HIGHEST))
         example = (jnp.zeros((1, 4, 513)), jnp.zeros((1, 4, 67, 67)))
 
     print(f"{args.split} utterances: {len(source)}")
