@@ -216,6 +216,17 @@ class MultiStreamVAD:
 
         return step
 
+    def warmup(self) -> None:
+        """Compile the tick step before serving traffic (first compile on a
+        remote-compile backend can take minutes; a cold server would stall
+        its first tick and back-pressure clients). State is untouched:
+        the step runs on zero inputs with active=0, so every stream's
+        carries are mask-restored."""
+        frames = jnp.zeros((self.n, self.block_frames, self._nfft))
+        probs, _ = self._step(self.variables, frames, jnp.ones(self.n),
+                              jnp.zeros(self.n), self._carries)
+        jax.block_until_ready(probs)
+
     def feed(self, stream_idx: int, pcm: np.ndarray) -> None:
         """Buffer samples for one stream (no compute)."""
         self._hub.feed(stream_idx, np.asarray(pcm, dtype=np.float32))
@@ -448,6 +459,16 @@ class MultiStreamAVVAD:
             return jax.nn.sigmoid(logits[..., 0]), masked
 
         return step
+
+    def warmup(self) -> None:
+        """Compile the tick step before serving traffic (see
+        MultiStreamVAD.warmup). State is untouched (active=0)."""
+        frames = jnp.zeros((self.n, self.block_frames, self._nfft))
+        video = jnp.zeros((self.n, self.block_frames, 67, 67))
+        probs, _ = self._step(self.variables, frames, video,
+                              jnp.ones(self.n), jnp.zeros(self.n),
+                              self._carries)
+        jax.block_until_ready(probs)
 
     def feed(self, stream_idx: int, pcm: Optional[np.ndarray] = None,
              video_frames: Optional[np.ndarray] = None) -> None:

@@ -7,17 +7,25 @@ per audio stream, full-duplex raw float32 little-endian PCM in /
 speech-probability frames out.
 
 Wire protocol (deliberately minimal):
-  client -> server: raw float32 LE samples, any chunking (16 kHz mono)
-  server -> client: raw float32 LE per-frame speech probabilities, in
-                    frame order, emitted as soon as each block_frames
-                    block of STFT frames completes
+  audio-only (MultiStreamVAD):
+    client -> server: raw float32 LE samples, any chunking (16 kHz mono)
+  audio-visual (MultiStreamAVVAD):
+    client -> server: framed messages  [1-byte type][u32 LE byte length]
+                      [payload] — type b"A": float32 LE samples; type
+                      b"V": float32 LE 67x67 lip frames (any count per
+                      message). Modalities interleave freely; the server
+                      holds a stream back until both have a full block.
+  server -> client (both modes): raw float32 LE per-frame speech
+                    probabilities, in frame order, emitted as soon as
+                    each block_frames block completes
 
 Design: a single-threaded selector loop multiplexes all connections onto
-one MultiStreamVAD — sockets drain into the native StreamHub (zero
-per-stream Python in the hot path), then one device step per tick
-advances every stream with a full block. Connections map to stream slots;
-closed connections recycle their slot (buffer, peak, and LSTM carries
-reset). Backpressure: with all slots busy, new connections are refused.
+one MultiStreamVAD / MultiStreamAVVAD — sockets drain into the native
+StreamHub (zero per-stream Python in the hot path), then one device step
+per tick advances every stream with a full block. Connections map to
+stream slots; closed connections recycle their slot (buffer, peak, and
+LSTM carries reset). Backpressure: with all slots busy, new connections
+are refused.
 """
 
 from __future__ import annotations
@@ -28,18 +36,21 @@ from typing import Optional
 
 import numpy as np
 
-from .serve import MultiStreamVAD
+from .serve import MultiStreamAVVAD, MultiStreamVAD
 
 _BYTES_PER_SAMPLE = 4
 _RECV_CHUNK = 1 << 16
+_VIDEO_FRAME_BYTES = 67 * 67 * 4
 
 
 class VADServer:
-    """Serve a MultiStreamVAD over TCP; one connection = one stream."""
+    """Serve a MultiStreamVAD (raw-PCM protocol) or MultiStreamAVVAD
+    (framed A/V protocol) over TCP; one connection = one stream."""
 
-    def __init__(self, streamer: MultiStreamVAD, host: str = "127.0.0.1",
+    def __init__(self, streamer, host: str = "127.0.0.1",
                  port: int = 0):
         self.streamer = streamer
+        self._av = isinstance(streamer, MultiStreamAVVAD)
         self._listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._listener.bind((host, port))
@@ -106,12 +117,47 @@ class VADServer:
             self._drop(conn)
             return
         buf = b"".join(chunks)
+        if self._av:
+            try:
+                rest = self._feed_av(slot, buf)
+            except ValueError:
+                self._drop(conn)  # malformed frame stream
+                return
+            if conn in self._partial:
+                self._partial[conn] = rest
+            return
         usable = len(buf) - (len(buf) % _BYTES_PER_SAMPLE)
         if usable:
             pcm = np.frombuffer(buf[:usable], dtype="<f4")
             self.streamer.feed(slot, pcm)
         if conn in self._partial:
             self._partial[conn] = buf[usable:]
+
+    def _feed_av(self, slot: int, buf: bytes) -> bytes:
+        """Parse framed A/V messages; feed complete ones; return leftover."""
+        off = 0
+        while len(buf) - off >= 5:
+            mtype = buf[off:off + 1]
+            if mtype not in (b"A", b"V"):
+                raise ValueError(f"bad message type {mtype!r}")
+            length = int.from_bytes(buf[off + 1:off + 5], "little")
+            if len(buf) - off - 5 < length:
+                break
+            payload = buf[off + 5:off + 5 + length]
+            off += 5 + length
+            if mtype == b"A":
+                usable = len(payload) - (len(payload) % _BYTES_PER_SAMPLE)
+                if usable:
+                    self.streamer.feed(
+                        slot, pcm=np.frombuffer(payload[:usable], dtype="<f4"))
+            else:
+                n = len(payload) // _VIDEO_FRAME_BYTES
+                if n:
+                    frames = np.frombuffer(
+                        payload[:n * _VIDEO_FRAME_BYTES],
+                        dtype="<f4").reshape(n, 67, 67)
+                    self.streamer.feed(slot, video_frames=frames)
+        return buf[off:]
 
     # -- serving loop --------------------------------------------------------
 
@@ -135,7 +181,12 @@ class VADServer:
         return len(results)
 
     def serve_forever(self, max_iterations: Optional[int] = None,
-                      timeout: float = 0.005):
+                      timeout: float = 0.005, warmup: bool = True):
+        """`warmup` compiles the device step before the first poll so a
+        cold server does not stall its first tick (remote compiles can
+        take minutes); early connections simply buffer meanwhile."""
+        if warmup:
+            self.streamer.warmup()
         self._running = True
         n = 0
         while self._running:
@@ -154,6 +205,50 @@ class VADServer:
         self._sel.unregister(self._listener)
         self._listener.close()
         self._sel.close()
+
+
+def av_frame(mtype: bytes, payload: bytes) -> bytes:
+    """Frame one A/V protocol message."""
+    return mtype + len(payload).to_bytes(4, "little") + payload
+
+
+def av_stream_client(address, pcm: np.ndarray, video: np.ndarray,
+                     n_expected: int, chunk: int = 4000,
+                     frames_per_msg: int = 16,
+                     timeout: float = 30.0) -> np.ndarray:
+    """Minimal AV reference client: interleave framed PCM and 67x67 lip
+    frames, collect n_expected probs."""
+    pcm_b = np.asarray(pcm, dtype="<f4").tobytes()
+    vid = np.asarray(video, dtype="<f4").reshape(-1, 67, 67)
+    with socket.create_connection(address, timeout=timeout) as s:
+        s.settimeout(timeout)
+        out = b""
+        want = n_expected * _BYTES_PER_SAMPLE
+        a_off, v_off = 0, 0
+        a_step = chunk * _BYTES_PER_SAMPLE
+        while a_off < len(pcm_b) or v_off < len(vid):
+            if a_off < len(pcm_b):
+                s.sendall(av_frame(b"A", pcm_b[a_off:a_off + a_step]))
+                a_off += a_step
+            if v_off < len(vid):
+                part = vid[v_off:v_off + frames_per_msg]
+                s.sendall(av_frame(b"V", part.tobytes()))
+                v_off += len(part)
+            try:
+                s.settimeout(0.0)
+                part = s.recv(1 << 20)
+                if part:
+                    out += part
+            except (BlockingIOError, socket.timeout):
+                pass
+            finally:
+                s.settimeout(timeout)
+        while len(out) < want:
+            part = s.recv(1 << 20)
+            if not part:
+                break
+            out += part
+    return np.frombuffer(out[:want], dtype="<f4")
 
 
 def stream_client(address, pcm: np.ndarray, n_expected: int,

@@ -108,3 +108,40 @@ def test_server_slot_recycling():
         server.stop()
         t.join(timeout=10)
         server.close()
+
+
+def test_av_server_round_trip_matches_solo_stream():
+    """Framed A/V protocol: a TCP connection feeding interleaved PCM +
+    lip-frame messages must match a solo StreamingAVVAD run."""
+    from avvad_tpu.models import AVVAD
+    from avvad_tpu.serve import MultiStreamAVVAD, StreamingAVVAD
+    from avvad_tpu.server import av_stream_client
+
+    model = AVVAD(y_dim=1, lstm_hidden_size=16, lstm_layers=2, use_mcb=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 513)),
+                           jnp.zeros((1, 8, 67, 67)))
+    bf = 8
+    ms = MultiStreamAVVAD(model, variables, n_streams=2, block_frames=bf)
+    server = VADServer(ms)
+    t = threading.Thread(target=server.serve_forever,
+                        kwargs={"timeout": 0.002}, daemon=True)
+    t.start()
+    try:
+        sig = _signals(1, samples=9000)[0]
+        cfg = ms.cfg
+        n_frames = 1 + (len(sig) - cfg.nfft) // cfg.hopsamp
+        rng = np.random.default_rng(3)
+        video = rng.normal(size=(n_frames, 67, 67)).astype(np.float32)
+        n_out = (n_frames // bf) * bf
+
+        got = av_stream_client(server.address, sig, video, n_out)
+
+        sv = StreamingAVVAD(model, variables, block_frames=bf,
+                            fixed_peak=1.0)
+        ref = np.concatenate([sv.feed(sig, video), sv.flush()])[:n_out]
+        assert len(got) == n_out
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+    finally:
+        server.stop()
+        t.join(timeout=10)
+        server.close()
