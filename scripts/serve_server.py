@@ -1,15 +1,20 @@
 #!/usr/bin/env python
 """Streaming VAD TCP server.
 
-Serves a trained AudioVAD checkpoint over TCP: one connection per 16 kHz
-mono stream, raw float32 LE PCM in, raw float32 LE per-frame speech
-probabilities out (see avvad_tpu.server for the wire protocol). A serving
-capability the reference lacks entirely (its closest analogue is the
-batch prediction writer, evaluate_audio_net.py:107-180).
+Serves a trained checkpoint over TCP, one connection per stream. Audio
+mode (AudioVAD): raw float32 LE PCM in. Audio-visual mode (AVVAD,
+--modality av): framed messages ([type][u32 len][payload], A = PCM,
+V = 67x67 lip frames) interleaved per connection. Both emit raw float32
+LE per-frame speech probabilities (see avvad_tpu.server for the wire
+protocol). A serving capability the reference lacks entirely (its
+closest analogue is the batch prediction writer,
+evaluate_audio_net.py:107-180).
 
 Example:
   python scripts/serve_server.py --checkpoint runs/audio --port 7474 \
       --streams 32 --block-frames 16
+  python scripts/serve_server.py --modality av --checkpoint runs/av \
+      --streams 16
 """
 
 import argparse
@@ -21,8 +26,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--modality", choices=["audio", "av"], default="audio")
     p.add_argument("--checkpoint", required=True,
-                   help="AudioVAD checkpoint (model dir or epoch dir)")
+                   help="AudioVAD/AVVAD checkpoint (model dir or epoch dir)")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=7474)
     p.add_argument("--streams", type=int, default=32,
@@ -32,34 +38,49 @@ def main():
     p.add_argument("--lstm-hidden", type=int, default=1024)
     p.add_argument("--lstm-layers", type=int, default=2)
     p.add_argument("--y-dim", type=int, default=1)
+    p.add_argument("--mcb", action=argparse.BooleanOptionalAction, default=True,
+                   help="AV fusion: MCB (default) or concat")
     args = p.parse_args()
 
     import jax
     import jax.numpy as jnp
 
-    from avvad_tpu.models import AudioVAD
-    from avvad_tpu.serve import MultiStreamVAD
     from avvad_tpu.server import VADServer
     from avvad_tpu.train import create_train_state
     from avvad_tpu.train.checkpoint import restore_checkpoint
     from avvad_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
-    model = AudioVAD(y_dim=args.y_dim, lstm_hidden_size=args.lstm_hidden,
-                     lstm_layers=args.lstm_layers)
-    state = create_train_state(model, jax.random.PRNGKey(0),
-                               (jnp.zeros((1, 8, 513)),))
+    if args.modality == "audio":
+        from avvad_tpu.models import AudioVAD
+        from avvad_tpu.serve import MultiStreamVAD
+
+        model = AudioVAD(y_dim=args.y_dim, lstm_hidden_size=args.lstm_hidden,
+                         lstm_layers=args.lstm_layers)
+        example = (jnp.zeros((1, 8, 513)),)
+        make_streamer = MultiStreamVAD
+    else:
+        from avvad_tpu.models import AVVAD
+        from avvad_tpu.serve import MultiStreamAVVAD
+
+        model = AVVAD(y_dim=args.y_dim, lstm_hidden_size=args.lstm_hidden,
+                      lstm_layers=args.lstm_layers, use_mcb=args.mcb)
+        example = (jnp.zeros((1, 8, 513)), jnp.zeros((1, 8, 67, 67)))
+        make_streamer = MultiStreamAVVAD
+
+    state = create_train_state(model, jax.random.PRNGKey(0), example)
     state, norm_stats, epoch = restore_checkpoint(args.checkpoint, state,
                                                   with_opt=False)
     print(f"serving checkpoint epoch {epoch} "
           f"(norm stats: {sorted(norm_stats) if norm_stats else None})")
 
-    streamer = MultiStreamVAD(model, state.variables(), n_streams=args.streams,
-                              norm_stats=norm_stats,
-                              block_frames=args.block_frames)
+    streamer = make_streamer(model, state.variables(), n_streams=args.streams,
+                             norm_stats=norm_stats,
+                             block_frames=args.block_frames)
     server = VADServer(streamer, host=args.host, port=args.port)
     print(f"listening on {server.address[0]}:{server.address[1]} "
-          f"({args.streams} stream slots, block={args.block_frames} frames)")
+          f"({args.modality}, {args.streams} stream slots, "
+          f"block={args.block_frames} frames)")
     try:
         server.serve_forever()
     except KeyboardInterrupt:
