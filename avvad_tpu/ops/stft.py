@@ -50,6 +50,56 @@ def _windowed_dft_bases(nfft: int) -> tuple[np.ndarray, np.ndarray]:
     )
 
 
+@functools.lru_cache(maxsize=8)
+def _split_radix_bases(nfft: int, outer: int = 8):
+    """Cooley-Tukey bases for a real-input DFT split as nfft = inner*outer.
+
+    With n = n2*outer + n1 and k = k1*inner + k2:
+      A[n1, k2] = DFT_inner of the n1-th polyphase component   (real input)
+      X[k1*inner + k2] = DFT_outer over n1 of A[n1,k2] * e^{-2pi i n1 k2/N}
+    Only k1 in [0, k1_max) is computed — enough to cover the nfft//2+1
+    real-DFT bins. The dominant contraction is the inner DFT with
+    K=inner=128 (MXU-ideal); total ~3.7x fewer FLOPs than the direct
+    (nfft x n_freq) basis matmul at the same fp32 precision."""
+    inner = nfft // outer
+    n_freq = nfft // 2 + 1
+    n2 = np.arange(inner, dtype=np.float64)
+    k2 = np.arange(inner, dtype=np.float64)
+    ang_in = 2.0 * np.pi * np.outer(n2, k2) / inner        # (inner, inner)
+    n1 = np.arange(outer, dtype=np.float64)
+    tw = 2.0 * np.pi * np.outer(n1, k2) / nfft             # (outer, inner)
+    k1_max = (n_freq - 1) // inner + 1
+    ang_out = 2.0 * np.pi * np.outer(
+        n1, np.arange(k1_max, dtype=np.float64)) / outer   # (outer, k1_max)
+    f = lambda a: a.astype(np.float32)  # noqa: E731
+    return (f(np.cos(ang_in)), f(-np.sin(ang_in)),
+            f(np.cos(tw)), f(-np.sin(tw)),
+            f(np.cos(ang_out)), f(-np.sin(ang_out)), k1_max)
+
+
+def _dft_split_radix(frames: jax.Array, nfft: int, precision,
+                     outer: int = 8) -> tuple[jax.Array, jax.Array]:
+    """Windowed real DFT of (..., nfft) frames via the split above."""
+    c_in, s_in, t_re, t_im, o_re, o_im, k1m = _split_radix_bases(nfft, outer)
+    inner = nfft // outer
+    n_freq = nfft // 2 + 1
+    xw = frames * jnp.asarray(hann_window(nfft))
+    x2 = xw.reshape(xw.shape[:-1] + (inner, outer))        # [n2][n1]
+    dot = functools.partial(jnp.einsum, precision=precision,
+                            preferred_element_type=jnp.float32)
+    a_re = dot("...ab,ak->...bk", x2, jnp.asarray(c_in))   # (..., outer, inner)
+    a_im = dot("...ab,ak->...bk", x2, jnp.asarray(s_in))
+    b_re = a_re * jnp.asarray(t_re) - a_im * jnp.asarray(t_im)
+    b_im = a_re * jnp.asarray(t_im) + a_im * jnp.asarray(t_re)
+    re = (dot("...nk,nj->...jk", b_re, jnp.asarray(o_re))
+          - dot("...nk,nj->...jk", b_im, jnp.asarray(o_im)))
+    im = (dot("...nk,nj->...jk", b_re, jnp.asarray(o_im))
+          + dot("...nk,nj->...jk", b_im, jnp.asarray(o_re)))
+    re = re.reshape(re.shape[:-2] + (k1m * inner,))[..., :n_freq]
+    im = im.reshape(im.shape[:-2] + (k1m * inner,))[..., :n_freq]
+    return re, im
+
+
 def _needs_end_pad(n_samples: int, fs: float, wlen_sec: float, hop_percent: float) -> bool:
     utt_len = n_samples / fs
     ratio = utt_len / wlen_sec / hop_percent
@@ -105,7 +155,7 @@ def _pad_signal(
 
 @functools.partial(jax.jit, static_argnames=("fs", "wlen_sec", "hop_percent",
                                              "center", "pad_at_end",
-                                             "precision"))
+                                             "precision", "split_radix"))
 def stft_frames(
     x: jax.Array,
     fs: int = 16000,
@@ -114,16 +164,21 @@ def stft_frames(
     center: bool = False,
     pad_at_end: bool = True,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+    split_radix: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """STFT of a (..., n_samples) batch -> (re, im), each (..., n_frames, n_freq).
 
     Real/imag pair instead of complex (the backend has no complex dtypes);
     time-major (T, F) layout so the lane dimension is frequency.
+    `split_radix`: compute the DFT via the Cooley-Tukey two-stage split
+    (_dft_split_radix) — same fp32 math reordered, ~3.7x fewer FLOPs.
     """
     nfft = int(wlen_sec * fs)
     hop = int(hop_percent * nfft)
     x = _pad_signal(x, nfft, hop, fs, wlen_sec, hop_percent, center, pad_at_end)
     frames = frame_signal(x, nfft, hop)  # (..., T, nfft)
+    if split_radix and nfft % 8 == 0:
+        return _dft_split_radix(frames, nfft, precision)
     cos_b, sin_b = _windowed_dft_bases(nfft)
     # Precision.HIGHEST (default): TPU matmuls otherwise truncate inputs to
     # bf16, which is catastrophic for the log-power of quiet bins (observed
@@ -139,7 +194,8 @@ def stft_frames(
 
 @functools.partial(jax.jit, static_argnames=("fs", "wlen_sec", "hop_percent",
                                              "center", "pad_at_end",
-                                             "peak_norm", "precision"))
+                                             "peak_norm", "precision",
+                                             "split_radix"))
 def log_power_frontend(
     x: jax.Array,
     fs: int = 16000,
@@ -150,18 +206,20 @@ def log_power_frontend(
     eps: float = 1e-8,
     peak_norm: bool = True,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+    split_radix: bool = False,
 ) -> jax.Array:
     """Fused waveform -> log(|STFT|^2 + eps), (..., T, F) float32.
 
     Equivalent to the reference's per-utterance pipeline: peak-normalize,
     torch.stft, power, log (/root/reference/packages/data_handling.py:285-301),
-    as a single compiled computation. `precision`: see stft_frames.
+    as a single compiled computation. `precision`/`split_radix`: see
+    stft_frames.
     """
     if peak_norm:
         x = x / jnp.max(jnp.abs(x), axis=-1, keepdims=True)
     re, im = stft_frames(x, fs=fs, wlen_sec=wlen_sec, hop_percent=hop_percent,
                          center=center, pad_at_end=pad_at_end,
-                         precision=precision)
+                         precision=precision, split_radix=split_radix)
     return jnp.log(re * re + im * im + eps)
 
 

@@ -88,3 +88,30 @@ def test_istft_frames_matches_host(ref_subset):
                                   fs=fs, hop_percent=0.25))
     n = min(len(host), len(dev))
     np.testing.assert_allclose(dev[:n], host[:n], atol=2e-4)
+
+
+def test_split_radix_matches_direct():
+    """The Cooley-Tukey split DFT is the direct basis matmul reordered:
+    re/im agree to fp32 reassociation noise, and the log-power domain on
+    real speech stays within ~0.05 of the direct path even on the
+    quietest bins (vs ~1 log-unit for bf16x3 precision, which is why
+    split-radix is the acceptable fast path and precision-lowering is
+    not)."""
+    from avvad_tpu.ops.stft import log_power_frontend, stft_frames
+    from avvad_tpu.processing import read_wav
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 20000)).astype(np.float32)
+    r1, i1 = stft_frames(jnp.asarray(x))
+    r2, i2 = stft_frames(jnp.asarray(x), split_radix=True)
+    scale = float(np.abs(np.asarray(r1)).max())
+    assert np.abs(np.asarray(r1) - np.asarray(r2)).max() < 1e-4 * scale
+    assert np.abs(np.asarray(i1) - np.asarray(i2)).max() < 1e-4 * scale
+
+    wav, fs = read_wav(
+        "/root/reference/data/subset/processed/ntcd_timit/Clean/train/01M/sa1.wav")
+    f1 = np.asarray(log_power_frontend(jnp.asarray(wav)[None], fs=fs))
+    f2 = np.asarray(log_power_frontend(jnp.asarray(wav)[None], fs=fs,
+                                       split_radix=True))
+    assert np.abs(f1 - f2).max() < 0.1
+    assert np.abs(f1 - f2).mean() < 1e-3
