@@ -475,3 +475,20 @@ def test_chunked_tower_matches_single_pass():
         atol = 5e-3 if int8 else 1e-6
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=atol, err_msg=f"int8={int8}")
+
+
+def test_stem_epilogue_pallas_exact():
+    """The (unshipped; measured-negative on the current backend, see
+    ops/stem_pallas.py) fused stem epilogue kernel must match the XLA
+    reference bit-for-bit, including the ragged pad tail."""
+    from avvad_tpu.ops.stem_pallas import (stem_epilogue_pool_quant,
+                                           stem_epilogue_reference)
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(37, 34, 34, 64)).astype(np.float32))
+    a = jnp.asarray(rng.uniform(0.5, 2.0, 64).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=64).astype(np.float32))
+    ref = np.asarray(stem_epilogue_reference(x, a, b))
+    got = np.asarray(stem_epilogue_pool_quant(x, a, b))
+    assert got.shape == (37, 17, 17, 64)
+    assert (ref == got).all()
