@@ -66,11 +66,44 @@ def run(server: MultiStreamVAD, n_ticks: int, chunk: np.ndarray,
     return (time.perf_counter() - t0) / n_ticks
 
 
+def make_av_server(n_streams: int, block_frames: int):
+    from avvad_tpu.models import AVVAD
+    from avvad_tpu.serve import MultiStreamAVVAD
+
+    model = AVVAD(y_dim=1, lstm_hidden_size=1024, lstm_layers=2,
+                  use_mcb=True, use_pallas_lstm=True)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 8, 513)), jnp.zeros((1, 8, 67, 67)))
+    return MultiStreamAVVAD(model, variables, n_streams,
+                            block_frames=block_frames)
+
+
+def run_av(server, n_ticks: int, chunk: np.ndarray,
+           vchunk: np.ndarray) -> float:
+    n = server.n
+    for i in range(n):
+        server.feed(i, pcm=np.concatenate([chunk, chunk]),
+                    video_frames=np.concatenate([vchunk, vchunk]))
+    out = server.tick(fetch=True)
+    assert len(out) == n
+    t0 = time.perf_counter()
+    last = None
+    for _ in range(n_ticks):
+        for i in range(n):
+            server.feed(i, pcm=chunk, video_frames=vchunk)
+        last = server.tick(fetch=True)
+    _ = np.asarray(last[0])
+    return (time.perf_counter() - t0) / n_ticks
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--streams", type=int, default=32)
     ap.add_argument("--ticks", type=int, default=40)
     ap.add_argument("--block-frames", type=int, default=16)
+    ap.add_argument("--av", action="store_true",
+                    help="also time MultiStreamAVVAD ticks (ResNet tower + "
+                         "MCB fusion per block)")
     args = ap.parse_args()
 
     hop, nfft = 256, 1024
@@ -101,6 +134,17 @@ def main():
         agg = args.streams * block_sec / dt
         budget = block_sec / dt
         print(f"tick ({mode}): {dt * 1e3:6.1f} ms | {args.streams} streams x "
+              f"{block_sec * 1e3:.0f} ms blocks -> {agg:6.1f}x aggregate "
+              f"real time | latency budget headroom {budget:4.1f}x")
+
+    if args.av:
+        vchunk = rng.normal(
+            size=(args.block_frames, 67, 67)).astype(np.float32)
+        av = make_av_server(args.streams, args.block_frames)
+        dt = run_av(av, args.ticks, chunk, vchunk)
+        agg = args.streams * block_sec / dt
+        budget = block_sec / dt
+        print(f"tick (AV  ): {dt * 1e3:6.1f} ms | {args.streams} streams x "
               f"{block_sec * 1e3:.0f} ms blocks -> {agg:6.1f}x aggregate "
               f"real time | latency budget headroom {budget:4.1f}x")
 
