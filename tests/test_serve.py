@@ -213,3 +213,29 @@ def test_multistream_av_matches_solo_streams(ref_subset):
         want = solo_outs[i][: len(got)]
         assert len(got) >= len(solo_outs[i]) - bf  # tail < one block differs
         np.testing.assert_allclose(got, want, atol=1e-5, err_msg=f"stream {i}")
+
+
+def test_multistream_av_reset_stream():
+    """Recycling one AV stream slot clears its buffers and carries without
+    disturbing the other streams."""
+    from avvad_tpu.models import AVVAD
+    from avvad_tpu.serve import MultiStreamAVVAD
+
+    model = AVVAD(y_dim=1, lstm_hidden_size=8, lstm_layers=1, use_mcb=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 513)),
+                           jnp.zeros((1, 4, 67, 67)))
+    ms = MultiStreamAVVAD(model, variables, n_streams=2, block_frames=4)
+    rng = np.random.default_rng(0)
+    pcm = rng.normal(size=4096).astype(np.float32)
+    vid = rng.normal(size=(8, 67, 67)).astype(np.float32)
+    ms.feed(0, pcm=pcm, video_frames=vid)
+    ms.feed(1, pcm=pcm, video_frames=vid)
+    out = ms.tick()
+    assert sorted(out) == [0, 1]
+    h_before = np.asarray(ms._carries[0][0])
+    assert np.abs(h_before[1]).max() > 0
+    ms.reset_stream(1)
+    assert len(ms._vbufs[1]) == 0
+    h_after = np.asarray(ms._carries[0][0])
+    assert np.abs(h_after[1]).max() == 0        # recycled slot zeroed
+    np.testing.assert_array_equal(h_after[0], h_before[0])  # other intact
