@@ -121,8 +121,9 @@ class _VideoTower(nn.Module):
     flips on quantization-boundary values (shape-dependent fusion order
     perturbs pre-quant activations by ~2e-7), bounded well inside the
     int8-vs-f32 noise floor. Ignored in training (BatchNorm batch stats
-    must see the whole frame batch) and during quant calibration (the
-    `quant` collection is mutable there, while the scan broadcasts it)."""
+    must see the whole frame batch) and for non-static int8 modes
+    (calibrate mutates the broadcast `quant` collection; dynamic's
+    per-tensor scales would silently become per-chunk)."""
 
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
@@ -144,8 +145,14 @@ class _VideoTower(nn.Module):
                           quant_mode=self.quant_mode,
                           name="features")
         n = b * t
+        # int8 chunking only with STATIC scales: "calibrate" mutates the
+        # quant collection (which the scan broadcasts), and "dynamic"
+        # computes per-tensor max-abs scales that would silently become
+        # per-CHUNK under the scan — a frame's quantization would depend
+        # on which other frames share its chunk, voiding the documented
+        # bounded-noise equivalence to the single-pass trunk.
         chunkable = (self.chunk and n > self.chunk and not train
-                     and not (self.quant_int8 and self.quant_mode == "calibrate"))
+                     and not (self.quant_int8 and self.quant_mode != "static"))
         if chunkable:
             c = self.chunk
             k = -(-n // c)  # ceil; pad rows are dropped after the scan

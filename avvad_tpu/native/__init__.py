@@ -33,7 +33,9 @@ def build(force: bool = False) -> str:
 def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
     """Load (building if needed) the library; None if unavailable. A
     stale on-disk .so missing a newer entry point triggers one forced
-    rebuild."""
+    rebuild; the rebuilt library is loaded through a unique temp copy
+    because dlopen caches by pathname — re-CDLL'ing the original path in
+    the same process would hand back the already-mapped stale object."""
     global _lib
     if _lib is not None:
         return _lib
@@ -46,8 +48,15 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
         except AttributeError:
             if not auto_build:
                 return None
+            import shutil
+            import tempfile
+
             build(force=True)
-            lib = ctypes.CDLL(_LIB_PATH)
+            tmp = tempfile.NamedTemporaryFile(
+                prefix="libavvad_io_", suffix=".so", delete=False)
+            tmp.close()
+            shutil.copy(_LIB_PATH, tmp.name)
+            lib = ctypes.CDLL(tmp.name)
             lib.hub_assemble_gated
     except Exception:
         return None

@@ -41,6 +41,7 @@ from .serve import MultiStreamAVVAD, MultiStreamVAD
 _BYTES_PER_SAMPLE = 4
 _RECV_CHUNK = 1 << 16
 _VIDEO_FRAME_BYTES = 67 * 67 * 4
+_MAX_MSG_BYTES = 1 << 24  # 16 MB; a full 16-frame A/V block is ~290 KB
 
 
 class VADServer:
@@ -100,13 +101,12 @@ class VADServer:
         if slot is None:
             return
         chunks = [self._partial.get(conn, b"")]
+        closed = False
         try:
             while True:
                 data = conn.recv(_RECV_CHUNK)
                 if not data:
-                    if len(chunks) == 1 and not chunks[0]:
-                        self._drop(conn)
-                        return
+                    closed = True  # EOF: process drained bytes, then drop
                     break
                 chunks.append(data)
                 if len(data) < _RECV_CHUNK:
@@ -123,6 +123,9 @@ class VADServer:
             except ValueError:
                 self._drop(conn)  # malformed frame stream
                 return
+            if closed:
+                self._drop(conn)  # free the slot; dead socket must not spin
+                return
             if conn in self._partial:
                 self._partial[conn] = rest
             return
@@ -130,33 +133,50 @@ class VADServer:
         if usable:
             pcm = np.frombuffer(buf[:usable], dtype="<f4")
             self.streamer.feed(slot, pcm)
+        if closed:
+            self._drop(conn)
+            return
         if conn in self._partial:
             self._partial[conn] = buf[usable:]
 
     def _feed_av(self, slot: int, buf: bytes) -> bytes:
-        """Parse framed A/V messages; feed complete ones; return leftover."""
+        """Parse framed A/V messages; feed complete ones; return leftover.
+
+        Strict protocol: unknown message types, oversized lengths
+        (> _MAX_MSG_BYTES — a full 16-frame block is ~290 KB, so anything
+        in the tens of MB is a corrupt or hostile header, and an
+        unvalidated u32 would let one header make the server buffer GBs),
+        and payloads that are not whole samples/frames all raise — the
+        caller drops the connection. Silent truncation is never correct
+        here: dropping tail bytes would bit-shift every following float
+        and permanently desync the A/V timelines."""
         off = 0
         while len(buf) - off >= 5:
             mtype = buf[off:off + 1]
             if mtype not in (b"A", b"V"):
                 raise ValueError(f"bad message type {mtype!r}")
             length = int.from_bytes(buf[off + 1:off + 5], "little")
+            if length > _MAX_MSG_BYTES:
+                raise ValueError(f"message length {length} exceeds cap")
             if len(buf) - off - 5 < length:
                 break
             payload = buf[off + 5:off + 5 + length]
             off += 5 + length
             if mtype == b"A":
-                usable = len(payload) - (len(payload) % _BYTES_PER_SAMPLE)
-                if usable:
+                if length % _BYTES_PER_SAMPLE:
+                    raise ValueError(f"A payload of {length} bytes is not "
+                                     f"whole float32 samples")
+                if length:
                     self.streamer.feed(
-                        slot, pcm=np.frombuffer(payload[:usable], dtype="<f4"))
+                        slot, pcm=np.frombuffer(payload, dtype="<f4"))
             else:
-                n = len(payload) // _VIDEO_FRAME_BYTES
-                if n:
-                    frames = np.frombuffer(
-                        payload[:n * _VIDEO_FRAME_BYTES],
-                        dtype="<f4").reshape(n, 67, 67)
-                    self.streamer.feed(slot, video_frames=frames)
+                if length % _VIDEO_FRAME_BYTES:
+                    raise ValueError(f"V payload of {length} bytes is not "
+                                     f"whole 67x67 float32 frames")
+                if length:
+                    frames = np.frombuffer(payload, dtype="<f4")
+                    self.streamer.feed(
+                        slot, video_frames=frames.reshape(-1, 67, 67))
         return buf[off:]
 
     # -- serving loop --------------------------------------------------------

@@ -169,10 +169,46 @@ def test_av_server_drops_malformed_connection():
             s.sendall(b"X" + (4).to_bytes(4, "little") + b"\0\0\0\0")
             import time as time_mod
             deadline = time_mod.time() + 5
-            while server._conn_slot and time_mod.time() < deadline:
+            # wait on _free (the LAST step of _drop) — _conn_slot empties
+            # earlier, mid-drop
+            while server._free != [0] and time_mod.time() < deadline:
                 time_mod.sleep(0.01)
         assert not server._conn_slot          # dropped
         assert server._free == [0]            # slot recycled
+    finally:
+        server.stop()
+        t.join(timeout=10)
+        server.close()
+
+
+def test_av_server_drops_on_disconnect_with_partial_message():
+    """A client that disconnects mid-message must be dropped and its slot
+    recycled (a dead socket must not spin the selector or leak the slot)."""
+    import socket as socket_mod
+    import time as time_mod
+
+    from avvad_tpu.models import AVVAD
+    from avvad_tpu.serve import MultiStreamAVVAD
+
+    model = AVVAD(y_dim=1, lstm_hidden_size=8, lstm_layers=1, use_mcb=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 513)),
+                           jnp.zeros((1, 4, 67, 67)))
+    ms = MultiStreamAVVAD(model, variables, n_streams=1, block_frames=4)
+    server = VADServer(ms)
+    t = threading.Thread(target=server.serve_forever,
+                        kwargs={"timeout": 0.002, "warmup": False},
+                        daemon=True)
+    t.start()
+    try:
+        s = socket_mod.create_connection(server.address, timeout=5)
+        # valid header claiming 1 frame, but only half the payload
+        s.sendall(b"V" + (67 * 67 * 4).to_bytes(4, "little") + b"\0" * 100)
+        time_mod.sleep(0.1)
+        s.close()  # EOF with a non-empty partial buffer
+        deadline = time_mod.time() + 5
+        while server._free != [0] and time_mod.time() < deadline:
+            time_mod.sleep(0.01)
+        assert server._free == [0] and not server._conn_slot
     finally:
         server.stop()
         t.join(timeout=10)
