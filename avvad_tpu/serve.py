@@ -30,6 +30,30 @@ from .models import AudioVAD
 from .ops.stft import _windowed_dft_bases
 
 
+def _norm_stat(norm_stats: Optional[dict], key: str):
+    """Dataset-normalization vector (or None) as a device array."""
+    if norm_stats and norm_stats.get(key) is not None:
+        return jnp.asarray(np.asarray(norm_stats[key]).reshape(-1))
+    return None
+
+
+def _log_power_feats(frames, peaks, cos_b, sin_b, eps, mean, std):
+    """Shared streaming frontend: peak-normalized raw sample frames ->
+    (optionally dataset-normalized) log-power features. `peaks` must
+    broadcast against `frames`; the DFT matmuls are fp32-pinned (bf16
+    truncation corrupts quiet bins — see ops/stft.py). Every streamer
+    class routes through this one function so frontend changes (e.g.
+    precision knobs) land in one place."""
+    hp = jax.lax.Precision.HIGHEST
+    x = frames / jnp.maximum(peaks, 1e-12)
+    re = jnp.matmul(x, cos_b, precision=hp)
+    im = jnp.matmul(x, sin_b, precision=hp)
+    feats = jnp.log(re * re + im * im + eps)
+    if mean is not None:
+        feats = (feats - mean) / (std + eps)
+    return feats
+
+
 class StreamingVAD:
     """Stateful streaming frame classifier around an AudioVAD checkpoint.
 
@@ -58,12 +82,8 @@ class StreamingVAD:
         self._cos = jnp.asarray(cos_b)
         self._sin = jnp.asarray(sin_b)
 
-        if norm_stats and norm_stats.get("audio_mean") is not None:
-            self._mean = jnp.asarray(np.asarray(norm_stats["audio_mean"]).reshape(-1))
-            self._std = jnp.asarray(np.asarray(norm_stats["audio_std"]).reshape(-1))
-        else:
-            self._mean = None
-            self._std = None
+        self._mean = _norm_stat(norm_stats, "audio_mean")
+        self._std = _norm_stat(norm_stats, "audio_std")
 
         self._step = self._build_step()
         self.reset()
@@ -84,18 +104,12 @@ class StreamingVAD:
         model = self.model
         eps = self.cfg.eps
         cos_b, sin_b, mean, std = self._cos, self._sin, self._mean, self._std
-        hp = jax.lax.Precision.HIGHEST
 
         @jax.jit
         def step(variables, frames, peak, carries):
             # frames: (block, nfft) raw samples; normalize by running peak
-            x = frames / jnp.maximum(peak, 1e-12)
-            re = jnp.matmul(x, cos_b, precision=hp)
-            im = jnp.matmul(x, sin_b, precision=hp)
-            feats = jnp.log(re * re + im * im + eps)[None]  # (1, block, F)
-            if mean is not None:
-                feats = (feats - mean) / (std + eps)
-
+            feats = _log_power_feats(frames, peak, cos_b, sin_b, eps,
+                                     mean, std)[None]  # (1, block, F)
             logits, new_carries = model.apply(variables, feats, carries,
                                               method=model.streaming_head)
             return jax.nn.sigmoid(logits[0, :, 0]), new_carries
@@ -177,11 +191,8 @@ class MultiStreamVAD:
                               force_python=not native)
         cos_b, sin_b = _windowed_dft_bases(self._nfft)
         self._cos, self._sin = jnp.asarray(cos_b), jnp.asarray(sin_b)
-        if norm_stats and norm_stats.get("audio_mean") is not None:
-            self._mean = jnp.asarray(np.asarray(norm_stats["audio_mean"]).reshape(-1))
-            self._std = jnp.asarray(np.asarray(norm_stats["audio_std"]).reshape(-1))
-        else:
-            self._mean = self._std = None
+        self._mean = _norm_stat(norm_stats, "audio_mean")
+        self._std = _norm_stat(norm_stats, "audio_std")
         self._step = self._build_step()
         self.reset()
 
@@ -195,17 +206,12 @@ class MultiStreamVAD:
         model = self.model
         eps = self.cfg.eps
         cos_b, sin_b, mean, std = self._cos, self._sin, self._mean, self._std
-        hp = jax.lax.Precision.HIGHEST
 
         @jax.jit
         def step(variables, frames, peaks, active, carries):
             # frames (N, block, nfft); peaks (N,); active (N,) float
-            x = frames / jnp.maximum(peaks, 1e-12)[:, None, None]
-            re = jnp.matmul(x, cos_b, precision=hp)
-            im = jnp.matmul(x, sin_b, precision=hp)
-            feats = jnp.log(re * re + im * im + eps)
-            if mean is not None:
-                feats = (feats - mean) / (std + eps)
+            feats = _log_power_feats(frames, peaks[:, None, None],
+                                     cos_b, sin_b, eps, mean, std)
             logits, new_carries = model.apply(variables, feats, carries,
                                               method=model.streaming_head)
             # restore carries of inactive (padded) streams
@@ -286,13 +292,10 @@ class StreamingAVVAD:
         cos_b, sin_b = _windowed_dft_bases(self._nfft)
         self._cos, self._sin = jnp.asarray(cos_b), jnp.asarray(sin_b)
 
-        def stat(key):
-            if norm_stats and norm_stats.get(key) is not None:
-                return jnp.asarray(np.asarray(norm_stats[key]).reshape(-1))
-            return None
-
-        self._a_mean, self._a_std = stat("audio_mean"), stat("audio_std")
-        self._v_mean, self._v_std = stat("video_mean"), stat("video_std")
+        self._a_mean = _norm_stat(norm_stats, "audio_mean")
+        self._a_std = _norm_stat(norm_stats, "audio_std")
+        self._v_mean = _norm_stat(norm_stats, "video_mean")
+        self._v_std = _norm_stat(norm_stats, "video_std")
 
         self._step = self._build_step()
         self.reset()
@@ -312,16 +315,11 @@ class StreamingAVVAD:
         cos_b, sin_b = self._cos, self._sin
         a_mean, a_std = self._a_mean, self._a_std
         v_mean, v_std = self._v_mean, self._v_std
-        hp = jax.lax.Precision.HIGHEST
 
         @jax.jit
         def step(variables, frames, video, peak, carries):
-            x = frames / jnp.maximum(peak, 1e-12)
-            re = jnp.matmul(x, cos_b, precision=hp)
-            im = jnp.matmul(x, sin_b, precision=hp)
-            feats = jnp.log(re * re + im * im + eps)[None]
-            if a_mean is not None:
-                feats = (feats - a_mean) / (a_std + eps)
+            feats = _log_power_feats(frames, peak, cos_b, sin_b, eps,
+                                     a_mean, a_std)[None]
             v = video[None]
             if v_mean is not None:
                 v = (v - v_mean) / (v_std + eps)
@@ -411,13 +409,10 @@ class MultiStreamAVVAD:
         cos_b, sin_b = _windowed_dft_bases(self._nfft)
         self._cos, self._sin = jnp.asarray(cos_b), jnp.asarray(sin_b)
 
-        def stat(key):
-            if norm_stats and norm_stats.get(key) is not None:
-                return jnp.asarray(np.asarray(norm_stats[key]).reshape(-1))
-            return None
-
-        self._a_mean, self._a_std = stat("audio_mean"), stat("audio_std")
-        self._v_mean, self._v_std = stat("video_mean"), stat("video_std")
+        self._a_mean = _norm_stat(norm_stats, "audio_mean")
+        self._a_std = _norm_stat(norm_stats, "audio_std")
+        self._v_mean = _norm_stat(norm_stats, "video_mean")
+        self._v_std = _norm_stat(norm_stats, "video_std")
         self._vout = np.zeros((n_streams, block_frames, 67, 67), np.float32)
         self._step = self._build_step()
         self.reset()
@@ -436,17 +431,12 @@ class MultiStreamAVVAD:
         cos_b, sin_b = self._cos, self._sin
         a_mean, a_std = self._a_mean, self._a_std
         v_mean, v_std = self._v_mean, self._v_std
-        hp = jax.lax.Precision.HIGHEST
 
         @jax.jit
         def step(variables, frames, video, peaks, active, carries):
             # frames (N, bf, nfft); video (N, bf, 67, 67); peaks/active (N,)
-            x = frames / jnp.maximum(peaks, 1e-12)[:, None, None]
-            re = jnp.matmul(x, cos_b, precision=hp)
-            im = jnp.matmul(x, sin_b, precision=hp)
-            feats = jnp.log(re * re + im * im + eps)
-            if a_mean is not None:
-                feats = (feats - a_mean) / (a_std + eps)
+            feats = _log_power_feats(frames, peaks[:, None, None],
+                                     cos_b, sin_b, eps, a_mean, a_std)
             v = video
             if v_mean is not None:
                 v = (v - v_mean) / (v_std + eps)
