@@ -48,6 +48,7 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
         except AttributeError:
             if not auto_build:
                 return None
+            import atexit
             import shutil
             import tempfile
 
@@ -58,6 +59,11 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
             shutil.copy(_LIB_PATH, tmp.name)
             lib = ctypes.CDLL(tmp.name)
             lib.hub_assemble_gated
+            # the dlopen mapping survives unlink on Linux; remove the temp
+            # copy at exit so the staleness probe doesn't leak one .so per
+            # process
+            atexit.register(
+                lambda p=tmp.name: os.path.exists(p) and os.unlink(p))
     except Exception:
         return None
 

@@ -175,12 +175,14 @@ class MultiStreamVAD:
                  norm_stats: Optional[dict] = None,
                  stft_cfg: STFTConfig = STFTConfig(),
                  block_frames: int = 16,
-                 native: bool = True):
+                 native: bool = True,
+                 max_backlog_blocks: int = 32):
         self.model = model
         self.variables = variables
         self.n = n_streams
         self.cfg = stft_cfg
         self.block_frames = block_frames
+        self.max_backlog_blocks = max_backlog_blocks
         self._nfft = stft_cfg.nfft
         self._hop = stft_cfg.hopsamp
         # sample buffering + per-tick block assembly live in the native hub
@@ -234,8 +236,22 @@ class MultiStreamVAD:
         jax.block_until_ready(probs)
 
     def feed(self, stream_idx: int, pcm: np.ndarray) -> None:
-        """Buffer samples for one stream (no compute)."""
+        """Buffer samples for one stream (no compute). Raises ValueError
+        when the stream's backlog exceeds max_backlog_blocks — a client
+        pushing far ahead of real time must not grow server memory without
+        bound (a tick consumes one block per stream, so the cap is the
+        drain rate times an ~8 s grace window at the default 16x16 ms)."""
+        cap = self.max_backlog_blocks * self.block_frames
+        if self._hub.frames_ready(stream_idx) >= cap:
+            raise ValueError(
+                f"stream {stream_idx} audio backlog exceeds "
+                f"{self.max_backlog_blocks} blocks")
         self._hub.feed(stream_idx, np.asarray(pcm, dtype=np.float32))
+
+    def has_full_block(self, stream_idx: int) -> bool:
+        """True when the stream could produce output on the next tick
+        (used by the server to drain half-closed connections)."""
+        return self._hub.frames_ready(stream_idx) >= self.block_frames
 
     def reset_stream(self, stream_idx: int) -> None:
         """Recycle one stream slot: clear its buffer/peak and zero its LSTM
@@ -394,12 +410,14 @@ class MultiStreamAVVAD:
                  norm_stats: Optional[dict] = None,
                  stft_cfg: STFTConfig = STFTConfig(),
                  block_frames: int = 16,
-                 native: bool = True):
+                 native: bool = True,
+                 max_backlog_blocks: int = 32):
         self.model = model
         self.variables = variables
         self.n = n_streams
         self.cfg = stft_cfg
         self.block_frames = block_frames
+        self.max_backlog_blocks = max_backlog_blocks
         self._nfft = stft_cfg.nfft
         self._hop = stft_cfg.hopsamp
         from .native import StreamHub
@@ -462,13 +480,36 @@ class MultiStreamAVVAD:
 
     def feed(self, stream_idx: int, pcm: Optional[np.ndarray] = None,
              video_frames: Optional[np.ndarray] = None) -> None:
-        """Buffer samples and/or lip frames for one stream (no compute)."""
+        """Buffer samples and/or lip frames for one stream (no compute).
+
+        Raises ValueError when either modality's backlog exceeds
+        max_backlog_blocks. The gated assemble holds audio in the hub
+        while video lags (and vice versa), so a client streaming one
+        modality much faster than the other — or one modality only —
+        would otherwise grow server memory without limit; per-message
+        size caps (server._MAX_MSG_BYTES) cannot see cross-message
+        accumulation."""
+        cap = self.max_backlog_blocks * self.block_frames
         if pcm is not None and len(pcm):
+            if self._hub.frames_ready(stream_idx) >= cap:
+                raise ValueError(
+                    f"stream {stream_idx} audio backlog exceeds "
+                    f"{self.max_backlog_blocks} blocks")
             self._hub.feed(stream_idx, np.asarray(pcm, dtype=np.float32))
         if video_frames is not None and len(video_frames):
+            if len(self._vbufs[stream_idx]) >= cap:
+                raise ValueError(
+                    f"stream {stream_idx} video backlog exceeds "
+                    f"{self.max_backlog_blocks} blocks")
             self._vbufs[stream_idx] = np.concatenate(
                 [self._vbufs[stream_idx],
                  np.asarray(video_frames, dtype=np.float32)])
+
+    def has_full_block(self, stream_idx: int) -> bool:
+        """True when the stream could produce output on the next tick
+        (both modalities have a full block buffered)."""
+        return (self._hub.frames_ready(stream_idx) >= self.block_frames
+                and len(self._vbufs[stream_idx]) >= self.block_frames)
 
     def reset_stream(self, stream_idx: int) -> None:
         """Recycle one stream slot (buffers, peak, LSTM carries)."""

@@ -63,6 +63,7 @@ class VADServer:
         self._conn_slot: dict = {}   # conn -> stream idx
         self._slot_conn: dict = {}   # stream idx -> conn
         self._partial: dict = {}     # conn -> trailing bytes (< 4)
+        self._closing: set = set()   # half-closed conns draining buffered blocks
         self._running = False
 
     @property
@@ -73,6 +74,14 @@ class VADServer:
 
     def _accept(self):
         conn, _ = self._listener.accept()
+        if not self._free:
+            # half-closed connections whose buffered blocks have drained
+            # are only dropped at end-of-poll; reclaim them now so a new
+            # client is not refused for a slot that is effectively free
+            for c in list(self._closing):
+                slot = self._conn_slot.get(c)
+                if slot is None or not self.streamer.has_full_block(slot):
+                    self._drop(c)
         if not self._free:
             conn.close()  # all stream slots busy
             return
@@ -86,6 +95,7 @@ class VADServer:
     def _drop(self, conn):
         slot = self._conn_slot.pop(conn, None)
         self._partial.pop(conn, None)
+        self._closing.discard(conn)
         if slot is not None:
             self._slot_conn.pop(slot, None)
             self.streamer.reset_stream(slot)
@@ -121,10 +131,10 @@ class VADServer:
             try:
                 rest = self._feed_av(slot, buf)
             except ValueError:
-                self._drop(conn)  # malformed frame stream
+                self._drop(conn)  # malformed frame stream / backlog abuse
                 return
             if closed:
-                self._drop(conn)  # free the slot; dead socket must not spin
+                self._begin_close(conn)
                 return
             if conn in self._partial:
                 self._partial[conn] = rest
@@ -132,12 +142,29 @@ class VADServer:
         usable = len(buf) - (len(buf) % _BYTES_PER_SAMPLE)
         if usable:
             pcm = np.frombuffer(buf[:usable], dtype="<f4")
-            self.streamer.feed(slot, pcm)
+            try:
+                self.streamer.feed(slot, pcm)
+            except ValueError:
+                self._drop(conn)  # backlog cap exceeded
+                return
         if closed:
-            self._drop(conn)
+            self._begin_close(conn)
             return
         if conn in self._partial:
             self._partial[conn] = buf[usable:]
+
+    def _begin_close(self, conn):
+        """EOF with payload possibly still buffered: stop reading the dead
+        socket but keep the slot alive so subsequent ticks emit every block
+        that was fully buffered at close time (a client that half-closes —
+        shutdown(SHUT_WR) — after sending must still receive its tail
+        probabilities). poll() drops the connection once no full block
+        remains."""
+        try:
+            self._sel.unregister(conn)
+        except (KeyError, ValueError):
+            pass
+        self._closing.add(conn)
 
     def _feed_av(self, slot: int, buf: bytes) -> bytes:
         """Parse framed A/V messages; feed complete ones; return leftover.
@@ -197,6 +224,11 @@ class VADServer:
             try:
                 conn.sendall(np.asarray(probs, dtype="<f4").tobytes())
             except (BlockingIOError, ConnectionError):
+                self._drop(conn)
+        # drained half-closed connections: drop once no full block remains
+        for conn in list(self._closing):
+            slot = self._conn_slot.get(conn)
+            if slot is None or not self.streamer.has_full_block(slot):
                 self._drop(conn)
         return len(results)
 

@@ -103,16 +103,24 @@ def prune_checkpoints(model_dir: str, keep_latest: int = 1) -> int:
     if not os.path.isdir(model_dir):
         return 0
     entries = []
+    removed = 0
     for name in os.listdir(model_dir):
+        # Sweep interrupted-save leftovers: Orbax stages into
+        # *.orbax-checkpoint-tmp and renames on commit, so a tmp dir is
+        # always a crashed save (resolution already ignores them; without
+        # this they accumulate forever).
+        if name.endswith(".orbax-checkpoint-tmp"):
+            shutil.rmtree(os.path.join(model_dir, name))
+            removed += 1
+            continue
         m = _CKPT_RE.match(name)
         if m:
             entries.append((int(m.group(1)), float(m.group(2)), name))
     if len(entries) <= keep_latest + 1:
-        return 0
+        return removed
     keep = {min(entries, key=lambda e: (e[1], -e[0]))[2]}  # best vloss
     entries.sort(reverse=True)
     keep.update(name for _, _, name in entries[:keep_latest])
-    removed = 0
     for _, _, name in entries:
         if name not in keep:
             shutil.rmtree(os.path.join(model_dir, name))

@@ -105,3 +105,20 @@ def test_prune_checkpoints_keeps_best_and_latest(tmp_path):
     assert removed == 2
     assert left == ["epoch_002_vloss_1.50",  # best vloss
                     "epoch_004_vloss_3.00", "epoch_005_vloss_5.00"]
+
+
+def test_prune_checkpoints_sweeps_crashed_tmp_dirs(tmp_path):
+    """Interrupted Orbax saves leave *.orbax-checkpoint-tmp staging dirs;
+    retention must remove them even when no real checkpoint is prunable."""
+    import os
+
+    from avvad_tpu.train.checkpoint import prune_checkpoints
+
+    d = tmp_path / "m"
+    os.makedirs(d / "epoch_001_vloss_2.00")
+    tmp_dir = d / "epoch_002_vloss_9.99.orbax-checkpoint-tmp"
+    os.makedirs(tmp_dir)
+    (tmp_dir / ".__lock").write_text("")
+    removed = prune_checkpoints(str(d), keep_latest=1)
+    assert removed == 1
+    assert sorted(os.listdir(d)) == ["epoch_001_vloss_2.00"]

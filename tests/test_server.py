@@ -110,6 +110,86 @@ def test_server_slot_recycling():
         server.close()
 
 
+def test_server_emits_tail_after_half_close():
+    """A client that half-closes (shutdown(SHUT_WR)) after sending must
+    still receive probabilities for every block fully buffered at close
+    time — EOF defers the drop until the buffered blocks have drained."""
+    model, variables = _model_and_vars(h=8, layers=1)
+    bf = 4
+    ms = MultiStreamVAD(model, variables, n_streams=2, block_frames=bf)
+    server = VADServer(ms)
+    t = threading.Thread(target=server.serve_forever,
+                         kwargs={"timeout": 0.002, "warmup": False},
+                         daemon=True)
+    t.start()
+    try:
+        sig = _signals(1, samples=12000)[0]
+        cfg = ms.cfg
+        nf = 1 + (len(sig) - cfg.nfft) // cfg.hopsamp
+        n_out = (nf // bf) * bf
+        want = n_out * 4
+        with socket.create_connection(server.address, timeout=10) as s:
+            s.settimeout(10)
+            # send EVERYTHING, then half-close before reading anything —
+            # several full blocks are still buffered server-side here
+            s.sendall(np.asarray(sig, dtype="<f4").tobytes())
+            s.shutdown(socket.SHUT_WR)
+            out = b""
+            while len(out) < want:
+                part = s.recv(1 << 20)
+                if not part:
+                    break
+                out += part
+        got = np.frombuffer(out, dtype="<f4")
+        sv = StreamingVAD(model, variables, block_frames=bf, fixed_peak=1.0)
+        ref = np.concatenate([sv.feed(sig), sv.flush()])[:n_out]
+        assert len(got) == n_out, (len(got), n_out)
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+    finally:
+        server.stop()
+        t.join(timeout=10)
+        server.close()
+
+
+def test_multistream_backlog_caps():
+    """Per-stream backlogs are bounded: a client pushing one modality far
+    ahead (or audio far past the drain rate) raises instead of growing
+    server memory without limit."""
+    import pytest
+
+    from avvad_tpu.models import AVVAD
+    from avvad_tpu.serve import MultiStreamAVVAD
+
+    model = AVVAD(y_dim=1, lstm_hidden_size=8, lstm_layers=1, use_mcb=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 513)),
+                           jnp.zeros((1, 4, 67, 67)))
+    ms = MultiStreamAVVAD(model, variables, n_streams=1, block_frames=4,
+                          max_backlog_blocks=2)
+    cap_frames = 2 * 4
+    # video-only flood: fine up to the cap, then refused
+    ms.feed(0, video_frames=np.zeros((cap_frames, 67, 67), np.float32))
+    with pytest.raises(ValueError, match="video backlog"):
+        ms.feed(0, video_frames=np.zeros((1, 67, 67), np.float32))
+    # audio-only flood on the other modality
+    cfg = ms.cfg
+    samples_per_cap = cfg.nfft + cfg.hopsamp * cap_frames
+    ms.feed(0, pcm=np.zeros(samples_per_cap, np.float32))
+    with pytest.raises(ValueError, match="audio backlog"):
+        ms.feed(0, pcm=np.zeros(cfg.hopsamp, np.float32))
+    # draining via ticks frees budget again
+    ms.tick()
+    ms.feed(0, pcm=np.zeros(cfg.hopsamp, np.float32))
+    ms.feed(0, video_frames=np.zeros((1, 67, 67), np.float32))
+
+    audio_only = MultiStreamVAD(
+        AudioVAD(y_dim=1, lstm_hidden_size=8, lstm_layers=1),
+        _model_and_vars(h=8, layers=1)[1], n_streams=1, block_frames=4,
+        max_backlog_blocks=2)
+    audio_only.feed(0, np.zeros(samples_per_cap, np.float32))
+    with pytest.raises(ValueError, match="audio backlog"):
+        audio_only.feed(0, np.zeros(cfg.hopsamp, np.float32))
+
+
 def test_av_server_round_trip_matches_solo_stream():
     """Framed A/V protocol: a TCP connection feeding interleaved PCM +
     lip-frame messages must match a solo StreamingAVVAD run."""
