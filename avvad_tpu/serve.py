@@ -37,6 +37,19 @@ def _norm_stat(norm_stats: Optional[dict], key: str):
     return None
 
 
+def _to_wire_video(frames, dtype) -> np.ndarray:
+    """Cast lip frames to the streamer's wire dtype. uint8 wire: frames
+    are min-max normalized to [0, 255] by construction
+    (/root/reference/packages/processing/video.py:16-20), so a rounded
+    uint8 carries them at 1/4 the host->device payload of float32 — the
+    dominant cost of a transfer-bound AV tick (BENCH_NOTES.md streaming
+    decomposition). Quantization error <= 0.5/255 of full scale."""
+    frames = np.asarray(frames)
+    if dtype == np.uint8 and frames.dtype != np.uint8:
+        return np.clip(np.round(frames), 0, 255).astype(np.uint8)
+    return np.ascontiguousarray(frames, dtype=dtype)
+
+
 def _log_power_feats(frames, peaks, cos_b, sin_b, eps, mean, std):
     """Shared streaming frontend: peak-normalized raw sample frames ->
     (optionally dataset-normalized) log-power features. `peaks` must
@@ -296,12 +309,15 @@ class StreamingAVVAD:
                  norm_stats: Optional[dict] = None,
                  stft_cfg: STFTConfig = STFTConfig(),
                  block_frames: int = 16,
-                 fixed_peak: Optional[float] = None):
+                 fixed_peak: Optional[float] = None,
+                 video_uint8: bool = False):
         self.model = model
         self.variables = variables
         self.cfg = stft_cfg
         self.block_frames = block_frames
         self.fixed_peak = fixed_peak
+        self.video_uint8 = video_uint8
+        self._vdtype = np.uint8 if video_uint8 else np.float32
 
         self._nfft = stft_cfg.nfft
         self._hop = stft_cfg.hopsamp
@@ -319,7 +335,7 @@ class StreamingAVVAD:
     def reset(self) -> None:
         self._buf = np.zeros(0, dtype=np.float32)
         self._frames = np.zeros((0, self._nfft), dtype=np.float32)
-        self._vframes = np.zeros((0, 67, 67), dtype=np.float32)
+        self._vframes = np.zeros((0, 67, 67), dtype=self._vdtype)
         self._peak = self.fixed_peak or 0.0
         h = self.model.lstm_hidden_size
         self._carries = [(jnp.zeros((1, h)), jnp.zeros((1, h)))
@@ -336,7 +352,8 @@ class StreamingAVVAD:
         def step(variables, frames, video, peak, carries):
             feats = _log_power_feats(frames, peak, cos_b, sin_b, eps,
                                      a_mean, a_std)[None]
-            v = video[None]
+            # uint8 wire: dequantize on device (the transfer stays 1/4 size)
+            v = video.astype(jnp.float32)[None]
             if v_mean is not None:
                 v = (v - v_mean) / (v_std + eps)
             logits, new_carries = model.apply(
@@ -353,7 +370,7 @@ class StreamingAVVAD:
         self._buf = np.concatenate([self._buf, pcm])
         if len(video_frames):
             self._vframes = np.concatenate(
-                [self._vframes, np.asarray(video_frames, dtype=np.float32)])
+                [self._vframes, _to_wire_video(video_frames, self._vdtype)])
 
         n_new = 1 + (len(self._buf) - self._nfft) // self._hop \
             if len(self._buf) >= self._nfft else 0
@@ -383,7 +400,7 @@ class StreamingAVVAD:
         fb = np.concatenate([self._frames[:n],
                              np.zeros((pad, self._nfft), np.float32)])
         vb = np.concatenate([self._vframes[:n],
-                             np.zeros((pad, 67, 67), np.float32)])
+                             np.zeros((pad, 67, 67), self._vdtype)])
         self._frames = self._frames[:0]
         self._vframes = self._vframes[:0]
         probs, self._carries = self._step(
@@ -411,13 +428,16 @@ class MultiStreamAVVAD:
                  stft_cfg: STFTConfig = STFTConfig(),
                  block_frames: int = 16,
                  native: bool = True,
-                 max_backlog_blocks: int = 32):
+                 max_backlog_blocks: int = 32,
+                 video_uint8: bool = False):
         self.model = model
         self.variables = variables
         self.n = n_streams
         self.cfg = stft_cfg
         self.block_frames = block_frames
         self.max_backlog_blocks = max_backlog_blocks
+        self.video_uint8 = video_uint8
+        self._vdtype = np.uint8 if video_uint8 else np.float32
         self._nfft = stft_cfg.nfft
         self._hop = stft_cfg.hopsamp
         from .native import StreamHub
@@ -431,13 +451,13 @@ class MultiStreamAVVAD:
         self._a_std = _norm_stat(norm_stats, "audio_std")
         self._v_mean = _norm_stat(norm_stats, "video_mean")
         self._v_std = _norm_stat(norm_stats, "video_std")
-        self._vout = np.zeros((n_streams, block_frames, 67, 67), np.float32)
+        self._vout = np.zeros((n_streams, block_frames, 67, 67), self._vdtype)
         self._step = self._build_step()
         self.reset()
 
     def reset(self) -> None:
         self._hub.reset()
-        self._vbufs = [np.zeros((0, 67, 67), np.float32)
+        self._vbufs = [np.zeros((0, 67, 67), self._vdtype)
                        for _ in range(self.n)]
         h = self.model.lstm_hidden_size
         self._carries = [(jnp.zeros((self.n, h)), jnp.zeros((self.n, h)))
@@ -455,7 +475,8 @@ class MultiStreamAVVAD:
             # frames (N, bf, nfft); video (N, bf, 67, 67); peaks/active (N,)
             feats = _log_power_feats(frames, peaks[:, None, None],
                                      cos_b, sin_b, eps, a_mean, a_std)
-            v = video
+            # uint8 wire: dequantize on device (the transfer stays 1/4 size)
+            v = video.astype(jnp.float32)
             if v_mean is not None:
                 v = (v - v_mean) / (v_std + eps)
             logits, new_carries = model.apply(
@@ -472,7 +493,8 @@ class MultiStreamAVVAD:
         """Compile the tick step before serving traffic (see
         MultiStreamVAD.warmup). State is untouched (active=0)."""
         frames = jnp.zeros((self.n, self.block_frames, self._nfft))
-        video = jnp.zeros((self.n, self.block_frames, 67, 67))
+        video = jnp.zeros((self.n, self.block_frames, 67, 67),
+                          dtype=self._vdtype)
         probs, _ = self._step(self.variables, frames, video,
                               jnp.ones(self.n), jnp.zeros(self.n),
                               self._carries)
@@ -503,7 +525,7 @@ class MultiStreamAVVAD:
                     f"{self.max_backlog_blocks} blocks")
             self._vbufs[stream_idx] = np.concatenate(
                 [self._vbufs[stream_idx],
-                 np.asarray(video_frames, dtype=np.float32)])
+                 _to_wire_video(video_frames, self._vdtype)])
 
     def has_full_block(self, stream_idx: int) -> bool:
         """True when the stream could produce output on the next tick
@@ -514,7 +536,7 @@ class MultiStreamAVVAD:
     def reset_stream(self, stream_idx: int) -> None:
         """Recycle one stream slot (buffers, peak, LSTM carries)."""
         self._hub.reset_stream(stream_idx)
-        self._vbufs[stream_idx] = np.zeros((0, 67, 67), np.float32)
+        self._vbufs[stream_idx] = np.zeros((0, 67, 67), self._vdtype)
         self._carries = [
             (h.at[stream_idx].set(0.0), c.at[stream_idx].set(0.0))
             for h, c in self._carries

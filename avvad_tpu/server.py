@@ -12,9 +12,15 @@ Wire protocol (deliberately minimal):
   audio-visual (MultiStreamAVVAD):
     client -> server: framed messages  [1-byte type][u32 LE byte length]
                       [payload] — type b"A": float32 LE samples; type
-                      b"V": float32 LE 67x67 lip frames (any count per
-                      message). Modalities interleave freely; the server
-                      holds a stream back until both have a full block.
+                      b"V": float32 LE 67x67 lip frames; type b"U":
+                      uint8 67x67 lip frames (any count per message).
+                      Modalities interleave freely; the server holds a
+                      stream back until both have a full block. Lip
+                      frames are [0,255] by construction, so the uint8
+                      wire carries them at 1/4 the payload — prefer it
+                      for transfer-bound links (float "V" frames are
+                      quantized server-side when the streamer runs the
+                      uint8 device path).
   server -> client (both modes): raw float32 LE per-frame speech
                     probabilities, in frame order, emitted as soon as
                     each block_frames block completes
@@ -41,6 +47,7 @@ from .serve import MultiStreamAVVAD, MultiStreamVAD
 _BYTES_PER_SAMPLE = 4
 _RECV_CHUNK = 1 << 16
 _VIDEO_FRAME_BYTES = 67 * 67 * 4
+_VIDEO_FRAME_BYTES_U8 = 67 * 67
 _MAX_MSG_BYTES = 1 << 24  # 16 MB; a full 16-frame A/V block is ~290 KB
 
 
@@ -180,7 +187,7 @@ class VADServer:
         off = 0
         while len(buf) - off >= 5:
             mtype = buf[off:off + 1]
-            if mtype not in (b"A", b"V"):
+            if mtype not in (b"A", b"V", b"U"):
                 raise ValueError(f"bad message type {mtype!r}")
             length = int.from_bytes(buf[off + 1:off + 5], "little")
             if length > _MAX_MSG_BYTES:
@@ -196,12 +203,20 @@ class VADServer:
                 if length:
                     self.streamer.feed(
                         slot, pcm=np.frombuffer(payload, dtype="<f4"))
-            else:
+            elif mtype == b"V":
                 if length % _VIDEO_FRAME_BYTES:
                     raise ValueError(f"V payload of {length} bytes is not "
                                      f"whole 67x67 float32 frames")
                 if length:
                     frames = np.frombuffer(payload, dtype="<f4")
+                    self.streamer.feed(
+                        slot, video_frames=frames.reshape(-1, 67, 67))
+            else:
+                if length % _VIDEO_FRAME_BYTES_U8:
+                    raise ValueError(f"U payload of {length} bytes is not "
+                                     f"whole 67x67 uint8 frames")
+                if length:
+                    frames = np.frombuffer(payload, dtype=np.uint8)
                     self.streamer.feed(
                         slot, video_frames=frames.reshape(-1, 67, 67))
         return buf[off:]
@@ -267,11 +282,19 @@ def av_frame(mtype: bytes, payload: bytes) -> bytes:
 def av_stream_client(address, pcm: np.ndarray, video: np.ndarray,
                      n_expected: int, chunk: int = 4000,
                      frames_per_msg: int = 16,
-                     timeout: float = 30.0) -> np.ndarray:
+                     timeout: float = 30.0,
+                     video_wire: str = "f32") -> np.ndarray:
     """Minimal AV reference client: interleave framed PCM and 67x67 lip
-    frames, collect n_expected probs."""
+    frames, collect n_expected probs. `video_wire="u8"` sends lip frames
+    as rounded uint8 (type U, 1/4 the payload)."""
     pcm_b = np.asarray(pcm, dtype="<f4").tobytes()
-    vid = np.asarray(video, dtype="<f4").reshape(-1, 67, 67)
+    if video_wire == "u8":
+        vtype = b"U"
+        vid = np.clip(np.round(np.asarray(video)), 0, 255
+                      ).astype(np.uint8).reshape(-1, 67, 67)
+    else:
+        vtype = b"V"
+        vid = np.asarray(video, dtype="<f4").reshape(-1, 67, 67)
     with socket.create_connection(address, timeout=timeout) as s:
         s.settimeout(timeout)
         out = b""
@@ -284,7 +307,7 @@ def av_stream_client(address, pcm: np.ndarray, video: np.ndarray,
                 a_off += a_step
             if v_off < len(vid):
                 part = vid[v_off:v_off + frames_per_msg]
-                s.sendall(av_frame(b"V", part.tobytes()))
+                s.sendall(av_frame(vtype, part.tobytes()))
                 v_off += len(part)
             try:
                 s.settimeout(0.0)

@@ -66,16 +66,33 @@ def run(server: MultiStreamVAD, n_ticks: int, chunk: np.ndarray,
     return (time.perf_counter() - t0) / n_ticks
 
 
-def make_av_server(n_streams: int, block_frames: int):
+def make_av_server(n_streams: int, block_frames: int, int8: bool = False,
+                   u8_wire: bool = False, pallas_tower: bool = False):
     from avvad_tpu.models import AVVAD
     from avvad_tpu.serve import MultiStreamAVVAD
 
     model = AVVAD(y_dim=1, lstm_hidden_size=1024, lstm_layers=2,
-                  use_mcb=True, use_pallas_lstm=True)
-    variables = model.init(jax.random.PRNGKey(0),
-                           jnp.zeros((1, 8, 513)), jnp.zeros((1, 8, 67, 67)))
+                  use_mcb=True, use_pallas_lstm=True,
+                  tower_int8=int8,
+                  tower_quant_mode="static" if int8 else "dynamic",
+                  tower_pallas=pallas_tower)
+    audio0 = jnp.zeros((1, 8, 513))
+    video0 = jnp.zeros((1, 8, 67, 67))
+    variables = model.init(jax.random.PRNGKey(0), audio0, video0)
+    if int8:
+        # record static activation scales on a representative block
+        from avvad_tpu.models.quantize import calibrate
+
+        rng = np.random.default_rng(0)
+        cal_a = jnp.asarray(rng.normal(size=(1, block_frames, 513))
+                            .astype(np.float32))
+        cal_v = jnp.asarray(
+            rng.uniform(0, 255, size=(1, block_frames, 67, 67))
+            .astype(np.float32))
+        cal = model.clone(tower_quant_mode="calibrate", tower_pallas=False)
+        variables = calibrate(cal, variables, [(cal_a, cal_v)], train=False)
     return MultiStreamAVVAD(model, variables, n_streams,
-                            block_frames=block_frames)
+                            block_frames=block_frames, video_uint8=u8_wire)
 
 
 def run_av(server, n_ticks: int, chunk: np.ndarray,
@@ -104,7 +121,19 @@ def main():
     ap.add_argument("--av", action="store_true",
                     help="also time MultiStreamAVVAD ticks (ResNet tower + "
                          "MCB fusion per block)")
+    ap.add_argument("--av-int8", action="store_true",
+                    help="AV tick with the calibrated static-int8 tower")
+    ap.add_argument("--av-u8", action="store_true",
+                    help="AV tick with the uint8 video wire (1/4 the "
+                         "host->device video payload, on-device dequant)")
+    ap.add_argument("--av-pallas", action="store_true",
+                    help="AV tick with the fused Pallas int8 block kernels "
+                         "(implies --av-int8)")
     args = ap.parse_args()
+    if args.av_pallas:
+        args.av_int8 = True
+    if args.av_int8 or args.av_u8:
+        args.av = True
 
     hop, nfft = 256, 1024
     block_sec = args.block_frames * hop / 16000.0
@@ -138,14 +167,19 @@ def main():
               f"real time | latency budget headroom {budget:4.1f}x")
 
     if args.av:
-        vchunk = rng.normal(
-            size=(args.block_frames, 67, 67)).astype(np.float32)
-        av = make_av_server(args.streams, args.block_frames)
+        vchunk = rng.uniform(
+            0, 255, size=(args.block_frames, 67, 67)).astype(np.float32)
+        av = make_av_server(args.streams, args.block_frames,
+                            int8=args.av_int8, u8_wire=args.av_u8,
+                            pallas_tower=args.av_pallas)
         dt = run_av(av, args.ticks, chunk, vchunk)
         agg = args.streams * block_sec / dt
         budget = block_sec / dt
-        print(f"tick (AV  ): {dt * 1e3:6.1f} ms | {args.streams} streams x "
-              f"{block_sec * 1e3:.0f} ms blocks -> {agg:6.1f}x aggregate "
+        tag = "".join([" int8" if args.av_int8 else "",
+                       " pallas" if args.av_pallas else "",
+                       " u8" if args.av_u8 else ""]) or " f32"
+        print(f"tick (AV{tag}): {dt * 1e3:6.1f} ms | {args.streams} streams "
+              f"x {block_sec * 1e3:.0f} ms blocks -> {agg:6.1f}x aggregate "
               f"real time | latency budget headroom {budget:4.1f}x")
 
     # dispatch floor: the same per-tick host->device transfer through a

@@ -215,6 +215,52 @@ def test_multistream_av_matches_solo_streams(ref_subset):
         np.testing.assert_allclose(got, want, atol=1e-5, err_msg=f"stream {i}")
 
 
+def test_multistream_av_uint8_video_wire():
+    """uint8 video wire + on-device dequant: bit-identical to the float
+    path for integer-valued [0,255] frames (lip crops are min-max
+    normalized to that range by construction), and within quantization
+    tolerance for fractional ones."""
+    from avvad_tpu.models import AVVAD
+    from avvad_tpu.serve import MultiStreamAVVAD
+
+    model = AVVAD(y_dim=1, lstm_hidden_size=8, lstm_layers=1, use_mcb=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 513)),
+                           jnp.zeros((1, 4, 67, 67)))
+    rng = np.random.default_rng(5)
+    pcm = rng.normal(size=4096).astype(np.float32)
+    vid_int = rng.integers(0, 256, size=(8, 67, 67)).astype(np.float32)
+
+    outs = {}
+    for u8 in (False, True):
+        ms = MultiStreamAVVAD(model, variables, n_streams=1, block_frames=4,
+                              video_uint8=u8)
+        assert ms._vout.dtype == (np.uint8 if u8 else np.float32)
+        ms.feed(0, pcm=pcm, video_frames=vid_int)
+        got = []
+        for _ in range(4):
+            out = ms.tick()
+            if 0 in out:
+                got.append(out[0])
+        outs[u8] = np.concatenate(got)
+    np.testing.assert_allclose(outs[True], outs[False], atol=0)
+
+    # fractional frames: quantization-bounded difference, not garbage
+    vid_frac = (vid_int + rng.uniform(-0.49, 0.49, vid_int.shape)
+                ).astype(np.float32).clip(0, 255)
+    outs = {}
+    for u8 in (False, True):
+        ms = MultiStreamAVVAD(model, variables, n_streams=1, block_frames=4,
+                              video_uint8=u8)
+        ms.feed(0, pcm=pcm, video_frames=vid_frac)
+        got = []
+        for _ in range(4):
+            out = ms.tick()
+            if 0 in out:
+                got.append(out[0])
+        outs[u8] = np.concatenate(got)
+    np.testing.assert_allclose(outs[True], outs[False], atol=0.02)
+
+
 def test_multistream_av_reset_stream():
     """Recycling one AV stream slot clears its buffers and carries without
     disturbing the other streams."""

@@ -227,6 +227,43 @@ def test_av_server_round_trip_matches_solo_stream():
         server.close()
 
 
+def test_av_server_uint8_video_wire_matches_float():
+    """Type-U (uint8) lip-frame messages through the TCP front must give
+    the same probabilities as the float path for integer-valued frames."""
+    from avvad_tpu.models import AVVAD
+    from avvad_tpu.serve import MultiStreamAVVAD
+    from avvad_tpu.server import av_stream_client
+
+    model = AVVAD(y_dim=1, lstm_hidden_size=16, lstm_layers=1, use_mcb=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 513)),
+                           jnp.zeros((1, 8, 67, 67)))
+    bf = 8
+    ms = MultiStreamAVVAD(model, variables, n_streams=2, block_frames=bf,
+                          video_uint8=True)
+    server = VADServer(ms)
+    t = threading.Thread(target=server.serve_forever,
+                         kwargs={"timeout": 0.002}, daemon=True)
+    t.start()
+    try:
+        sig = _signals(1, samples=9000)[0]
+        cfg = ms.cfg
+        n_frames = 1 + (len(sig) - cfg.nfft) // cfg.hopsamp
+        rng = np.random.default_rng(3)
+        video = rng.integers(0, 256, size=(n_frames, 67, 67)
+                             ).astype(np.float32)
+        n_out = (n_frames // bf) * bf
+        got_u8 = av_stream_client(server.address, sig, video, n_out,
+                                  video_wire="u8")
+        got_f32 = av_stream_client(server.address, sig, video, n_out,
+                                   video_wire="f32")
+        assert len(got_u8) == n_out
+        np.testing.assert_allclose(got_u8, got_f32, atol=0)
+    finally:
+        server.stop()
+        t.join(timeout=10)
+        server.close()
+
+
 def test_av_server_drops_malformed_connection():
     """A connection sending an unknown message type is dropped and its
     slot recycled; the listener keeps serving."""
