@@ -107,6 +107,84 @@ class _QConvInt8(nn.Module):
         return y.astype(jnp.float32) * (x_scale * w_scale)
 
 
+class _ConvKernel(nn.Module):
+    """Param-holder twin of _QConvInt8/nn.Conv for the Pallas trunk: same
+    param name ("kernel") and HWIO shape, so the param tree — and
+    therefore checkpoints — are identical to the XLA block paths."""
+
+    shape: tuple
+
+    def setup(self):
+        self.kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                 self.shape)
+
+
+class _BNParams(nn.Module):
+    """Param-holder twin of nn.BatchNorm (inference): same param names
+    (scale/bias) and batch_stats names (mean/var), read for folding
+    instead of being applied."""
+
+    features: int
+
+    def setup(self):
+        f = self.features
+        self.scale = self.param("scale", nn.initializers.ones, (f,))
+        self.bias = self.param("bias", nn.initializers.zeros, (f,))
+        self.mean = self.variable("batch_stats", "mean",
+                                  lambda: jnp.zeros((f,), jnp.float32))
+        self.var = self.variable("batch_stats", "var",
+                                 lambda: jnp.ones((f,), jnp.float32))
+
+
+class BasicBlockPallas(nn.Module):
+    """Checkpoint-compatible twin of BasicBlock's static-int8 path that
+    folds its params for the fused Pallas block kernel
+    (ops/conv_pallas.py) instead of running XLA convs. Declares the same
+    param / batch_stats / quant variable tree as BasicBlock, so a model
+    calibrated with the XLA path restores directly."""
+
+    features: int
+    in_features: int
+    stride: int = 1
+    norm_eps: float = 1e-5
+
+    def setup(self):
+        f, c = self.features, self.in_features
+        self.conv1 = _ConvKernel((3, 3, c, f))
+        self.bn1 = _BNParams(f)
+        self.conv2 = _ConvKernel((3, 3, f, f))
+        self.bn2 = _BNParams(f)
+        if self.stride != 1 or c != f:
+            self.downsample_conv = _ConvKernel((1, 1, c, f))
+            self.downsample_bn = _BNParams(f)
+        self.q1 = self.variable("quant", "q1",
+                                lambda: jnp.zeros((), jnp.float32))
+        self.q_out = self.variable("quant", "q_out",
+                                   lambda: jnp.zeros((), jnp.float32))
+
+    def folded(self, x_scale):
+        """-> (kernel spec dict, out_scale). Scales replicate _act_quant's
+        static mode: amax = max(calibrated, 1e-8), scale = amax / 127."""
+        from ..ops.conv_pallas import fold_block
+
+        bn = lambda m: ({"scale": m.scale, "bias": m.bias},  # noqa: E731
+                        {"mean": m.mean.value, "var": m.var.value})
+        params = {"conv1": {"kernel": self.conv1.kernel},
+                  "conv2": {"kernel": self.conv2.kernel}}
+        stats = {}
+        params["bn1"], stats["bn1"] = bn(self.bn1)
+        params["bn2"], stats["bn2"] = bn(self.bn2)
+        if self.stride != 1 or self.in_features != self.features:
+            params["downsample_conv"] = {"kernel": self.downsample_conv.kernel}
+            params["downsample_bn"], stats["downsample_bn"] = \
+                bn(self.downsample_bn)
+        q1_s = jnp.maximum(self.q1.value, 1e-8) / 127.0
+        qo_s = jnp.maximum(self.q_out.value, 1e-8) / 127.0
+        spec = fold_block(x_scale, params, stats, q1_s, qo_s,
+                          eps=self.norm_eps)
+        return spec, qo_s
+
+
 class BasicBlock(nn.Module):
     """Two 3x3 convs + identity/1x1-downsample shortcut.
 
@@ -255,6 +333,7 @@ class ResNet18(nn.Module):
     gray_input: bool = False
     quant_int8: bool = False  # W8A8 convs in the four stages (inference only)
     quant_mode: str = "dynamic"  # dynamic | calibrate | static
+    stages_pallas: bool = False  # fused Pallas block kernels (static int8)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -284,6 +363,43 @@ class ResNet18(nn.Module):
             x = (_max_pool_i8(x_q), x_scale)
         else:
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        if self.quant_int8 and self.stages_pallas:
+            # Fused whole-BasicBlock Pallas kernels: the four stages run
+            # from one int8 input read to one int8 output write per block
+            # (ops/conv_pallas.py), eliminating the int32 conv-output HBM
+            # round-trips that cap the XLA int8 trunk (BENCH_NOTES.md
+            # stage-1 probe). Requires calibrated static scales.
+            if self.quant_mode != "static":
+                raise ValueError("stages_pallas requires quant_mode='static'")
+            if train:
+                raise ValueError("stages_pallas is inference-only")
+            x_q, x_scale = x
+            if (x_q.shape[1:] != (17, 17, 64)
+                    or tuple(self.stage_sizes) != (2, 2, 2, 2)
+                    or tuple(self.widths) != (64, 128, 256, 512)):
+                raise ValueError(
+                    "stages_pallas kernels are specialized to the standard "
+                    "ResNet-18 trunk at 67x67 inputs (17x17x64 stem output); "
+                    f"got {x_q.shape[1:]} / {self.stage_sizes} / {self.widths}")
+            specs = []
+            scale, cin = x_scale, self.widths[0]
+            for stage, (n_blocks, width) in enumerate(
+                    zip(self.stage_sizes, self.widths)):
+                for block in range(n_blocks):
+                    stride = 2 if (stage > 0 and block == 0) else 1
+                    blk = BasicBlockPallas(
+                        width, in_features=cin, stride=stride,
+                        norm_eps=self.norm_eps,
+                        name=f"layer{stage + 1}_{block}")
+                    spec, scale = blk.folded(scale)
+                    specs.append(spec)
+                    cin = width
+            if self.is_initializing():
+                return jnp.zeros((x_q.shape[0], self.widths[-1]), jnp.float32)
+            from ..ops.conv_pallas import trunk_features_int8
+
+            return trunk_features_int8(x_q, specs)
 
         for stage, (n_blocks, width) in enumerate(zip(self.stage_sizes, self.widths)):
             for block in range(n_blocks):

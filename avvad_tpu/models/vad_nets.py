@@ -130,6 +130,7 @@ class _VideoTower(nn.Module):
     gray_stem: bool = True  # exact: conv1(repeat(x,3)) == conv(x, sum_c W)
     quant_int8: bool = False  # W8A8 trunk convs (inference only)
     quant_mode: str = "dynamic"  # dynamic | calibrate | static
+    stages_pallas: bool = False  # fused Pallas block kernels (static int8)
     chunk: int = 0  # frames per trunk pass; 0 = single pass
 
     @nn.compact
@@ -143,6 +144,7 @@ class _VideoTower(nn.Module):
         trunk = trunk_cls(dtype=self.dtype, gray_input=self.gray_stem,
                           quant_int8=self.quant_int8,
                           quant_mode=self.quant_mode,
+                          stages_pallas=self.stages_pallas,
                           name="features")
         n = b * t
         # int8 chunking only with STATIC scales: "calibrate" mutates the
@@ -179,6 +181,7 @@ class VideoVAD(nn.Module):
     use_pallas_lstm: bool = False
     tower_int8: bool = False  # W8A8 trunk convs (inference only)
     tower_quant_mode: str = "dynamic"  # dynamic | calibrate | static
+    tower_pallas: bool = False  # fused Pallas block kernels (static int8)
     tower_chunk: int = 0  # frames per trunk pass (see _VideoTower.chunk)
     dropout_rate: float = 0.0  # defined-but-disabled in the reference
 
@@ -191,6 +194,7 @@ class VideoVAD(nn.Module):
         x = _VideoTower(dtype=self.dtype, remat=self.remat,
                         quant_int8=self.tower_int8,
                         quant_mode=self.tower_quant_mode,
+                        stages_pallas=self.tower_pallas,
                         chunk=self.tower_chunk,
                         name="tower")(video, train=train)
         if video_frame_indices is not None:
@@ -224,6 +228,7 @@ class AVVAD(nn.Module):
     use_pallas_lstm: bool = False
     tower_int8: bool = False  # W8A8 trunk convs (inference only)
     tower_quant_mode: str = "dynamic"  # dynamic | calibrate | static
+    tower_pallas: bool = False  # fused Pallas block kernels (static int8)
     tower_chunk: int = 0  # frames per trunk pass (see _VideoTower.chunk)
     # MCB matmul precision. HIGHEST = 6-pass fp32 (parity default); DEFAULT
     # truncates inputs to bf16 — measured quality-neutral for serving (probs
@@ -235,6 +240,7 @@ class AVVAD(nn.Module):
         self.tower = _VideoTower(dtype=self.dtype, remat=self.remat,
                                  quant_int8=self.tower_int8,
                                  quant_mode=self.tower_quant_mode,
+                                 stages_pallas=self.tower_pallas,
                                  chunk=self.tower_chunk)
         if self.use_mcb:
             self.mcb = CompactBilinearPooling(

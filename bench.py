@@ -55,6 +55,10 @@ def main():
     # slices so peak tower activation memory is set by the chunk, not the
     # batch — lifting the B>=96 OOM ceiling (see _VideoTower.chunk).
     tower_chunk = int(os.environ.get("AVVAD_BENCH_CHUNK", "0"))
+    # AVVAD_BENCH_PALLAS_TOWER=1: fused whole-BasicBlock Pallas int8
+    # kernels for the four trunk stages (ops/conv_pallas.py) instead of
+    # XLA convs + separate epilogue passes. Requires int8_mode == 2.
+    pallas_tower = os.environ.get("AVVAD_BENCH_PALLAS_TOWER") == "1"
     # MCB matmul precision. The serving default is DEFAULT (bf16 inputs,
     # f32 accumulation): with the sketch folded into the DFT bases the
     # fusion is ~6x cheaper than round 1's fp32-HIGHEST path, and measured
@@ -77,6 +81,7 @@ def main():
                   use_pallas_lstm=True, dtype=jnp.bfloat16,
                   tower_int8=int8_mode > 0,
                   tower_quant_mode="static" if int8_mode == 2 else "dynamic",
+                  tower_pallas=pallas_tower and int8_mode == 2,
                   tower_chunk=tower_chunk, mcb_precision=mcb_prec)
     # Serving ingests the camera's native 30 fps stream: the 62.5 fps video
     # timeline is pure frame DUPLICATION (ffmpeg fps-filter schedule), so
@@ -106,7 +111,8 @@ def main():
         # compiles much faster at b=2 on this remote-compile backend.
         from avvad_tpu.models.quantize import calibrate
 
-        cal_model = model.clone(tower_quant_mode="calibrate")
+        cal_model = model.clone(tower_quant_mode="calibrate",
+                                tower_pallas=False)
         variables = calibrate(
             cal_model, variables,
             [(init_audio[:2], video[:2])],

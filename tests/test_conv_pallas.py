@@ -1,0 +1,165 @@
+"""Fused int8 BasicBlock Pallas kernels vs the XLA int8 block math.
+
+The kernel computes the same quantized-block arithmetic as the
+models.resnet.BasicBlock static-int8 path with the epilogue scales folded
+(reassociated f32), so results must match the unfused reference except
+for rare one-LSB flips on quantization-boundary values.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from avvad_tpu.ops import conv_pallas as cp
+
+
+def _rand_bn(rng, c):
+    params = {"scale": rng.uniform(0.5, 1.5, c).astype(np.float32),
+              "bias": (rng.normal(size=c) * 0.1).astype(np.float32)}
+    stats = {"mean": (rng.normal(size=c) * 0.5).astype(np.float32),
+             "var": rng.uniform(0.5, 2.0, c).astype(np.float32)}
+    return params, stats
+
+
+def _make_block(rng, cin, cout, stride):
+    params = {"conv1": {"kernel": (rng.normal(size=(3, 3, cin, cout)) * 0.1
+                                   ).astype(np.float32)},
+              "conv2": {"kernel": (rng.normal(size=(3, 3, cout, cout)) * 0.1
+                                   ).astype(np.float32)}}
+    stats = {}
+    params["bn1"], stats["bn1"] = _rand_bn(rng, cout)
+    params["bn2"], stats["bn2"] = _rand_bn(rng, cout)
+    if stride != 1 or cin != cout:
+        params["downsample_conv"] = {
+            "kernel": (rng.normal(size=(1, 1, cin, cout)) * 0.1
+                       ).astype(np.float32)}
+        params["downsample_bn"], stats["downsample_bn"] = _rand_bn(rng, cout)
+    return params, stats
+
+
+def _bn_apply(y, p, s, eps=1e-5):
+    inv = jax.lax.rsqrt(s["var"] + eps)
+    return (y - s["mean"]) * inv * p["scale"] + p["bias"]
+
+
+def _ref_block(x_q, x_scale, params, stats, q1_s, qo_s, stride):
+    """Unfused XLA mimic of the BasicBlock static-int8 path."""
+    def conv(xq, xs, kernel, strides, padding):
+        wq, ws = cp._wq(jnp.asarray(kernel))
+        y = jax.lax.conv_general_dilated(
+            xq, wq, strides, padding,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        return y.astype(jnp.float32) * (xs * ws)
+
+    y = conv(x_q, x_scale, params["conv1"]["kernel"],
+             (stride, stride), ((1, 1), (1, 1)))
+    y = jax.nn.relu(_bn_apply(y, params["bn1"], stats["bn1"]))
+    y1_q = jnp.clip(jnp.round(y / q1_s), -127, 127).astype(jnp.int8)
+    y2 = conv(y1_q, q1_s, params["conv2"]["kernel"], (1, 1), ((1, 1), (1, 1)))
+    y2 = _bn_apply(y2, params["bn2"], stats["bn2"])
+    if "downsample_conv" in params:
+        r = conv(x_q, x_scale, params["downsample_conv"]["kernel"],
+                 (stride, stride), ((0, 0), (0, 0)))
+        r = _bn_apply(r, params["downsample_bn"], stats["downsample_bn"])
+    else:
+        r = x_q.astype(jnp.float32) * x_scale
+    out = jax.nn.relu(y2 + r)
+    return jnp.clip(jnp.round(out / qo_s), -127, 127).astype(jnp.int8)
+
+
+def _run_case(stride, cin, cout, h=5, n=16, tn=8, seed=0):
+    rng = np.random.default_rng(seed)
+    params, stats = _make_block(rng, cin, cout, stride)
+    x_q = rng.integers(-127, 128, size=(n, h, h, cin)).astype(np.int8)
+    x_scale = np.float32(0.05)
+
+    # derive realistic static scales from the float intermediates
+    wq1, ws1 = cp._wq(jnp.asarray(params["conv1"]["kernel"]))
+    y = jax.lax.conv_general_dilated(
+        jnp.asarray(x_q), wq1, (stride, stride), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32).astype(jnp.float32) * (x_scale * ws1)
+    y = jax.nn.relu(_bn_apply(y, params["bn1"], stats["bn1"]))
+    q1_s = np.float32(jnp.max(jnp.abs(y)) / 127.0)
+    qo_s = np.float32(2.5 * q1_s)  # any positive scale works for the compare
+
+    ref = np.asarray(_ref_block(jnp.asarray(x_q), x_scale, params, stats,
+                                q1_s, qo_s, stride))
+
+    spec = cp.fold_block(x_scale, params, stats, q1_s, qo_s)
+    xp = cp.nhwc_to_planes(jnp.asarray(x_q))
+    got_planes = cp.basic_block_int8(
+        xp, spec["w1"], spec["a1"], spec["b1"],
+        spec["w2"], spec["a2"], spec["b2"],
+        wd=spec.get("wd"), ad=spec.get("ad"), bd=spec.get("bd"),
+        res_scale=spec.get("res_scale"), H=h, W=h, stride=stride, tn=tn)
+    ho = (h + 2 - 3) // stride + 1
+    got_p = np.asarray(got_planes).reshape(ho + 2, ho + 2, cout, n)
+    # borders must be zero; interior transposed back to NHWC
+    border = got_p.copy()
+    border[1:-1, 1:-1] = 0
+    assert not border.any()
+    got = got_p[1:-1, 1:-1].transpose(3, 0, 1, 2)
+
+    diff = np.abs(got.astype(np.int32) - ref.astype(np.int32))
+    assert diff.max() <= 1, diff.max()
+    frac = (diff == 1).mean()
+    assert frac < 0.01, f"too many LSB flips: {frac}"
+
+
+def test_block_identity_residual():
+    _run_case(stride=1, cin=32, cout=32)
+
+
+def test_block_downsample_stride2():
+    _run_case(stride=2, cin=32, cout=64, seed=1)
+
+
+def test_block_downsample_stride1_channel_change():
+    _run_case(stride=1, cin=16, cout=32, seed=2)
+
+
+def test_resnet_stages_pallas_matches_xla_int8():
+    """Full trunk: the fused Pallas stages must reproduce the XLA
+    static-int8 trunk from the SAME calibrated variables (identical
+    param/batch_stats/quant trees), modulo the documented LSB-flip noise."""
+    from avvad_tpu.models.resnet import ResNet18
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(4, 67, 67, 1)).astype(np.float32)
+
+    cal = ResNet18(gray_input=True, quant_int8=True, quant_mode="calibrate")
+    variables = cal.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    # calibrate the activation scales on the test batch
+    _, updated = cal.apply(variables, jnp.asarray(x), mutable=["quant"])
+    variables = {**variables, "quant": updated["quant"]}
+
+    xla = ResNet18(gray_input=True, quant_int8=True, quant_mode="static")
+    pal = ResNet18(gray_input=True, quant_int8=True, quant_mode="static",
+                   stages_pallas=True)
+    # identical variable trees (checkpoint compatibility)
+    tree_p = jax.tree_util.tree_structure(
+        pal.init(jax.random.PRNGKey(0), jnp.asarray(x)))
+    tree_x = jax.tree_util.tree_structure(variables)
+    assert tree_p == tree_x
+
+    f_xla = np.asarray(xla.apply(variables, jnp.asarray(x)))
+    f_pal = np.asarray(pal.apply(variables, jnp.asarray(x)))
+    assert f_pal.shape == f_xla.shape == (4, 512)
+    denom = np.abs(f_xla).max() + 1e-9
+    assert np.abs(f_pal - f_xla).max() / denom < 0.02
+    corr = np.corrcoef(f_pal.ravel(), f_xla.ravel())[0, 1]
+    assert corr > 0.999, corr
+
+
+def test_trunk_pads_frame_dim():
+    """trunk_features_int8 must accept N not divisible by tn (padding) —
+    exercised at toy scale via a single-geometry check of nhwc_to_planes."""
+    rng = np.random.default_rng(3)
+    x = rng.integers(-5, 6, size=(3, 4, 4, 8)).astype(np.int8)
+    p = np.asarray(cp.nhwc_to_planes(jnp.asarray(x)))
+    assert p.shape == (36, 8, 3)
+    assert not p.reshape(6, 6, 8, 3)[0].any()
+    np.testing.assert_array_equal(
+        p.reshape(6, 6, 8, 3)[1:-1, 1:-1].transpose(3, 0, 1, 2), x)
