@@ -35,10 +35,16 @@ def initialize_multihost(
         "JAX_COORDINATOR_ADDRESS")
     if coordinator_address is None:
         return False
+    # `is None` checks, not `or`: process 0's id is falsy (bug found by
+    # the real 2-process test — `0 or env[...]` raised on the coordinator)
+    if num_processes is None:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
-        num_processes=num_processes or int(os.environ["JAX_NUM_PROCESSES"]),
-        process_id=process_id or int(os.environ["JAX_PROCESS_ID"]),
+        num_processes=num_processes,
+        process_id=process_id,
     )
     return True
 
