@@ -27,6 +27,7 @@ from .sources import (
     VideoClipSource,
     VideoSequenceSource,
 )
+from .augment import AugmentingSource, feature_stats, mix_at_snr, synth_noise
 from .batching import Batch, pad_batch, bucket_length
 from .pipeline import DataLoader, Prefetcher
 from .statistics import load_statistics, save_statistics, welford_merge

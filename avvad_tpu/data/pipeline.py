@@ -98,6 +98,9 @@ class DataLoader:
 
     def __iter__(self) -> Iterator[Batch]:
         pad_to = self.batch_size if self.pad_batch_to_full else None
+        if hasattr(self.source, "set_epoch"):
+            # augmenting sources re-seed their realizations per epoch
+            self.source.set_epoch(self.epoch)
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             batches = self._batch_indices()
             # pipeline item loading two batches ahead

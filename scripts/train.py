@@ -62,6 +62,11 @@ def build_parser():
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard batches over a data-axis mesh of this size "
                         "(0 = single device; -1 = all devices)")
+    p.add_argument("--augment", action="store_true",
+                   help="train on the clean wavs remixed across the "
+                        "synthesized 6-noise x 3-SNR grid (emulates the "
+                        "reference's full NTCD-TIMIT noise grid; audio/av "
+                        "only — see avvad_tpu.data.augment)")
     p.add_argument("--trace-dir", default=None,
                    help="capture a jax.profiler device trace of the first "
                         "training epoch into this directory")
@@ -127,6 +132,16 @@ def main():
                                  video_variant=args.video_variant)
 
     train_src, valid_src = make_source("train"), make_source("validation")
+    if args.augment:
+        if args.modality == "video":
+            raise SystemExit("--augment remixes audio; video-only training "
+                             "has no audio path")
+        from avvad_tpu.data import AugmentingSource
+
+        train_src = AugmentingSource(train_src, seed=args.seed)
+        print(f"augmentation: {len(train_src.inner)} utterances x "
+              f"{len(train_src.kinds)} noises x {len(train_src.snrs)} SNRs "
+              f"= {len(train_src)} items/epoch")
     print(f"train utterances: {len(train_src)}, valid: {len(valid_src)}")
     train_dl = DataLoader(train_src, args.batch_size, shuffle=True,
                           seed=args.seed, bucket=args.bucket, sort_pool_factor=4)
@@ -143,9 +158,19 @@ def main():
         video_stats = os.path.join(
             processed, "ntcd_timit/matlab_raw",
             "ntcd_timit_upsampled_statistics.h5")
-        if args.modality in ("audio", "av") and os.path.exists(audio_stats):
-            m, s = load_statistics(audio_stats)
-            norm_stats["audio_mean"], norm_stats["audio_std"] = m, s
+        if args.modality in ("audio", "av"):
+            if args.augment:
+                # the pre-rendered statistics h5 describes the fixture's
+                # single Babble@-5 condition; compute per-bin stats over
+                # one pass of the augmented grid instead
+                from avvad_tpu.data import feature_stats
+
+                m, s = feature_stats(train_src)
+                norm_stats["audio_mean"], norm_stats["audio_std"] = m, s
+                print("augmented-grid audio statistics computed")
+            elif os.path.exists(audio_stats):
+                m, s = load_statistics(audio_stats)
+                norm_stats["audio_mean"], norm_stats["audio_std"] = m, s
         if args.modality in ("video", "av") and os.path.exists(video_stats):
             m, s = load_statistics(video_stats)
             norm_stats["video_mean"], norm_stats["video_std"] = m, s
