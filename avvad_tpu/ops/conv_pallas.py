@@ -100,6 +100,13 @@ def _block_kernel(H: int, W: int, stride: int, has_down: bool,
     y1_ref[...] = jnp.zeros_like(y1_ref)
     o_ref[...] = jnp.zeros_like(o_ref)
 
+    # Measured on v5e: unrolling the pixel loop (static plane indices)
+    # gains ~11% on layer3 shapes but keeps every pixel's (Cout, TN)
+    # accumulator live, overflowing the 16 MB scoped VMEM at layer4
+    # (512-channel) shapes. The rolled fori_loop fits everywhere; see the
+    # negative-result section in BENCH_NOTES.md.
+    unroll = False
+
     def conv1_px(i, _):
         h = i // Wo
         w = i % Wo
@@ -115,7 +122,11 @@ def _block_kernel(H: int, W: int, stride: int, has_down: bool,
         y1_ref[pl.ds((h + 1) * Wop + (w + 1), 1)] = q.astype(jnp.int8)[None]
         return 0
 
-    jax.lax.fori_loop(0, Ho * Wo, conv1_px, 0)
+    if unroll:
+        for i in range(Ho * Wo):
+            conv1_px(i, 0)
+    else:
+        jax.lax.fori_loop(0, Ho * Wo, conv1_px, 0)
 
     def conv2_px(i, _):
         h = i // Wo
@@ -141,7 +152,11 @@ def _block_kernel(H: int, W: int, stride: int, has_down: bool,
         o_ref[pl.ds((h + 1) * Wop + (w + 1), 1)] = q.astype(jnp.int8)[None]
         return 0
 
-    jax.lax.fori_loop(0, Ho * Wo, conv2_px, 0)
+    if unroll:
+        for i in range(Ho * Wo):
+            conv2_px(i, 0)
+    else:
+        jax.lax.fori_loop(0, Ho * Wo, conv2_px, 0)
 
 
 def basic_block_int8(
