@@ -55,7 +55,11 @@ def calibrate_quant_scales(state, model, source, modality: str,
 
     from ..train.steps import _forward_inputs
 
-    cal_model = model.clone(tower_quant_mode="calibrate")
+    # calibration runs the XLA quant path (the Pallas trunk is static-only)
+    clone_kw = {"tower_quant_mode": "calibrate"}
+    if getattr(model, "tower_pallas", False):
+        clone_kw["tower_pallas"] = False
+    cal_model = model.clone(**clone_kw)
 
     @jax.jit
     def cal_step(variables, batch):

@@ -60,6 +60,11 @@ def parse_args():
     p.add_argument("--calibrate-utts", type=int, default=8)
     p.add_argument("--pallas-lstm", action="store_true",
                    help="use the weight-stationary Pallas LSTM kernel")
+    p.add_argument("--tower-pallas", action="store_true",
+                   help="fused Pallas int8 block kernels for the trunk "
+                        "(requires --tower-int8 --tower-quant-mode static; "
+                        "measured SLOWER than the XLA trunk on v5e — see "
+                        "BENCH_NOTES.md — kept for parity/records)")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard eval batches over a data-axis mesh of this "
                         "size (batch-size must divide it)")
@@ -97,6 +102,7 @@ def main():
                          use_pallas_lstm=args.pallas_lstm,
                          tower_int8=args.tower_int8,
                          tower_quant_mode=args.tower_quant_mode,
+                         tower_pallas=args.tower_pallas,
                          tower_chunk=args.tower_chunk)
         example = (jnp.zeros((1, 4, 67, 67)),)
     else:
@@ -110,6 +116,7 @@ def main():
                       use_pallas_lstm=args.pallas_lstm,
                       tower_int8=args.tower_int8,
                       tower_quant_mode=args.tower_quant_mode,
+                      tower_pallas=args.tower_pallas,
                       tower_chunk=args.tower_chunk,
                       mcb_precision=(jax.lax.Precision.DEFAULT
                                      if args.mcb_fast
