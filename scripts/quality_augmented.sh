@@ -66,6 +66,15 @@ python scripts/run_metrics.py --data-root "$DR" --dataset-size subset \
   --split test --predictions-dir "$Q/av_aug_preds_subset" \
   | tee "$Q/av_aug_metrics_subset.txt"
 
+echo "=== [7b/8] int8 gate over the full grid (54 utterances) ==="
+python scripts/evaluate.py --modality av --data-root "$DR" \
+  --dataset-size complete --split test --checkpoint "$Q/av_aug" \
+  --tower-int8 --tower-quant-mode static \
+  --output-dir "$Q/av_aug_preds_int8"
+python scripts/run_metrics.py --data-root "$DR" --dataset-size complete \
+  --split test --predictions-dir "$Q/av_aug_preds_int8" \
+  | tee "$Q/av_aug_metrics_int8.txt"
+
 echo "=== [8/8] video-only baseline on the fixture (AUC context) ==="
 python scripts/evaluate.py --modality video --data-root "$DR" \
   --dataset-size subset --split test --checkpoint "$Q/video" \
