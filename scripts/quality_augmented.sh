@@ -14,11 +14,15 @@ echo "=== [1/8] audio train (augmented grid) ==="
 python scripts/train.py --config configs/reference_av.yaml --modality audio \
   --data-root "$DR" --dataset-size subset --epochs 100 --augment \
   --model-dir "$Q/audio_aug"
+python scripts/summarize_training.py "$Q/audio_aug" \
+  --json-out "$Q/audio_aug/curve.json"
 
 echo "=== [2/8] AV train (augmented grid, frozen round-2 video trunk) ==="
 python scripts/train.py --config configs/reference_av.yaml --modality av \
   --data-root "$DR" --dataset-size subset --epochs 100 --augment \
   --pretrained-video "$Q/video" --model-dir "$Q/av_aug"
+python scripts/summarize_training.py "$Q/av_aug" \
+  --json-out "$Q/av_aug/curve.json"
 
 echo "=== [3/8] evaluate augmented models on the full grid ==="
 python scripts/evaluate.py --modality audio --data-root "$DR" \
