@@ -295,13 +295,43 @@ class _StemS2D(nn.Module):
         return _stem_space_to_depth(x, kernel, self.dtype)
 
 
+class _StemInt8(nn.Module):
+    """int8 stem conv on a pre-quantized input: (x_q int8, x_scale) -> f32.
+
+    Round 2 kept the stem float on the theory that the 7x7x1 contraction
+    underfills the MXU and the input is tiny — but the stem probe
+    (BENCH_NOTES.md tower ablation) shows the chain is traffic-bound on its
+    FLOAT conv output, not compute-bound, while round 3 measured that XLA
+    fuses dequant/BN/relu/requant epilogues into int8 convs well enough to
+    keep stage activations int8-resident. Quantizing the input (lip frames
+    are 8-bit pixels by construction, processing/video.py min-max maps them
+    to [0,255]) lets the stem conv run int8->int32 with the same fused
+    epilogue structure as the stages. Param stays the torchvision-shaped
+    (7,7,3,64) "kernel" (summed over the input-channel axis when `gray`,
+    exactly as _StemGray), so checkpoints are unaffected."""
+
+    gray: bool = True
+
+    @nn.compact
+    def __call__(self, x_q: jax.Array, x_scale: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, 3, 64)
+        )
+        k = jnp.sum(kernel, axis=2, keepdims=True) if self.gray else kernel
+        w_q, w_scale = _weight_qparams(k)
+        y = _conv_i8(x_q, w_q, (2, 2), ((3, 3), (3, 3)))
+        return y.astype(jnp.float32) * (x_scale * w_scale)
+
+
 class _StemGray(nn.Module):
     """Stem conv for channel-replicated inputs: (N, H, W, 1) with the
     (7,7,3,64) kernel summed over its input-channel axis (exact).
 
     Stays float even in the quantized trunk: the 7x7x1 contraction (K=49)
     underfills the MXU either way, the raw-pixel input is tiny next to the
-    stage activations, and a float stem spares the input a quantization."""
+    stage activations, and a float stem spares the input a quantization.
+    (`ResNet18.stem_int8` opts into the quantized stem instead — see
+    _StemInt8.)"""
 
     dtype: jnp.dtype = jnp.float32
 
@@ -334,22 +364,24 @@ class ResNet18(nn.Module):
     quant_int8: bool = False  # W8A8 convs in the four stages (inference only)
     quant_mode: str = "dynamic"  # dynamic | calibrate | static
     stages_pallas: bool = False  # fused Pallas block kernels (static int8)
+    stem_int8: bool = False  # W8A8 stem conv too (requires quant_int8)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        x = x.astype(self.dtype)
-        if self.gray_input:
-            # For channel-replicated grayscale inputs, conv1(repeat(x, 3))
-            # == conv(x_1ch, sum_c W) exactly — collapse the stem to one
-            # input channel and skip materializing the RGB repeat (3x less
-            # stem input bandwidth). Param stays the (7,7,3,64) torchvision
-            # kernel for checkpoint compatibility.
-            x = _StemGray(dtype=self.dtype, name="conv1")(x)
-        elif self.stem_s2d:
-            x = _StemS2D(dtype=self.dtype, name="conv1")(x)
+        if self.quant_int8 and self.stem_int8:
+            if self.stem_s2d:
+                raise ValueError("stem_int8 and stem_s2d are exclusive")
+            # Quantize from the raw f32 input (not the bf16 cast: pixel
+            # values reach ~255 where the bf16 LSB is already ~1.0, and
+            # stacking that rounding under the quantization would double
+            # the input noise for no bandwidth win — the int8 wire is
+            # narrower than bf16 anyway). Zero padding stays exact
+            # (symmetric quantization maps 0.0 -> 0).
+            x_q, x_s = _act_quant(self, x.astype(jnp.float32), "q_in",
+                                  self.quant_mode)
+            x = _StemInt8(gray=self.gray_input, name="conv1")(x_q, x_s)
         else:
-            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                        use_bias=False, dtype=self.dtype, name="conv1")(x)
+            x = self._stem_float(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          epsilon=self.norm_eps, dtype=jnp.float32, name="bn1")(x)
         x = nn.relu(x)
@@ -363,7 +395,25 @@ class ResNet18(nn.Module):
             x = (_max_pool_i8(x_q), x_scale)
         else:
             x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+        return self._stages(x, train)
 
+    def _stem_float(self, x: jax.Array) -> jax.Array:
+        x = x.astype(self.dtype)
+        if self.gray_input:
+            # For channel-replicated grayscale inputs, conv1(repeat(x, 3))
+            # == conv(x_1ch, sum_c W) exactly — collapse the stem to one
+            # input channel and skip materializing the RGB repeat (3x less
+            # stem input bandwidth). Param stays the (7,7,3,64) torchvision
+            # kernel for checkpoint compatibility.
+            x = _StemGray(dtype=self.dtype, name="conv1")(x)
+        elif self.stem_s2d:
+            x = _StemS2D(dtype=self.dtype, name="conv1")(x)
+        else:
+            x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                        use_bias=False, dtype=self.dtype, name="conv1")(x)
+        return x
+
+    def _stages(self, x, train: bool):
         if self.quant_int8 and self.stages_pallas:
             # Fused whole-BasicBlock Pallas kernels: the four stages run
             # from one int8 input read to one int8 output write per block

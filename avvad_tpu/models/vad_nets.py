@@ -131,6 +131,7 @@ class _VideoTower(nn.Module):
     quant_int8: bool = False  # W8A8 trunk convs (inference only)
     quant_mode: str = "dynamic"  # dynamic | calibrate | static
     stages_pallas: bool = False  # fused Pallas block kernels (static int8)
+    stem_int8: bool = False  # W8A8 stem conv too (see resnet._StemInt8)
     chunk: int = 0  # frames per trunk pass; 0 = single pass
 
     @nn.compact
@@ -145,6 +146,7 @@ class _VideoTower(nn.Module):
                           quant_int8=self.quant_int8,
                           quant_mode=self.quant_mode,
                           stages_pallas=self.stages_pallas,
+                          stem_int8=self.stem_int8,
                           name="features")
         n = b * t
         # int8 chunking only with STATIC scales: "calibrate" mutates the
@@ -182,6 +184,7 @@ class VideoVAD(nn.Module):
     tower_int8: bool = False  # W8A8 trunk convs (inference only)
     tower_quant_mode: str = "dynamic"  # dynamic | calibrate | static
     tower_pallas: bool = False  # fused Pallas block kernels (static int8)
+    tower_stem_int8: bool = False  # W8A8 stem conv too (resnet._StemInt8)
     tower_chunk: int = 0  # frames per trunk pass (see _VideoTower.chunk)
     dropout_rate: float = 0.0  # defined-but-disabled in the reference
 
@@ -195,6 +198,7 @@ class VideoVAD(nn.Module):
                         quant_int8=self.tower_int8,
                         quant_mode=self.tower_quant_mode,
                         stages_pallas=self.tower_pallas,
+                        stem_int8=self.tower_stem_int8,
                         chunk=self.tower_chunk,
                         name="tower")(video, train=train)
         if video_frame_indices is not None:
@@ -229,6 +233,7 @@ class AVVAD(nn.Module):
     tower_int8: bool = False  # W8A8 trunk convs (inference only)
     tower_quant_mode: str = "dynamic"  # dynamic | calibrate | static
     tower_pallas: bool = False  # fused Pallas block kernels (static int8)
+    tower_stem_int8: bool = False  # W8A8 stem conv too (resnet._StemInt8)
     tower_chunk: int = 0  # frames per trunk pass (see _VideoTower.chunk)
     # MCB matmul precision. HIGHEST = 6-pass fp32 (parity default); DEFAULT
     # truncates inputs to bf16 — measured quality-neutral for serving (probs
@@ -241,6 +246,7 @@ class AVVAD(nn.Module):
                                  quant_int8=self.tower_int8,
                                  quant_mode=self.tower_quant_mode,
                                  stages_pallas=self.tower_pallas,
+                                 stem_int8=self.tower_stem_int8,
                                  chunk=self.tower_chunk)
         if self.use_mcb:
             self.mcb = CompactBilinearPooling(

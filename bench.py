@@ -55,6 +55,11 @@ def main():
     # slices so peak tower activation memory is set by the chunk, not the
     # batch — lifting the B>=96 OOM ceiling (see _VideoTower.chunk).
     tower_chunk = int(os.environ.get("AVVAD_BENCH_CHUNK", "0"))
+    # AVVAD_BENCH_STEM_INT8: quantize the stem conv too (calibrated input
+    # scale; lip frames are 8-bit pixels by construction). Candidate to
+    # remove the stem chain's float conv-output traffic (BENCH_NOTES stem
+    # probe: 13.75 ms, ~9 ms of it HBM round-trips). Requires int8_mode 2.
+    stem_int8 = os.environ.get("AVVAD_BENCH_STEM_INT8", "0") == "1"
     # AVVAD_BENCH_PALLAS_TOWER=1: fused whole-BasicBlock Pallas int8
     # kernels for the four trunk stages (ops/conv_pallas.py) instead of
     # XLA convs + separate epilogue passes. Requires int8_mode == 2.
@@ -82,6 +87,7 @@ def main():
                   tower_int8=int8_mode > 0,
                   tower_quant_mode="static" if int8_mode == 2 else "dynamic",
                   tower_pallas=pallas_tower and int8_mode == 2,
+                  tower_stem_int8=stem_int8 and int8_mode == 2,
                   tower_chunk=tower_chunk, mcb_precision=mcb_prec)
     # Serving ingests the camera's native 30 fps stream: the 62.5 fps video
     # timeline is pure frame DUPLICATION (ffmpeg fps-filter schedule), so

@@ -51,6 +51,10 @@ def parse_args():
                         "inputs, f32 accumulation; ~6x the MXU rate, probs "
                         "move ~1e-6 — see BENCH_NOTES.md) instead of the "
                         "parity default fp32-HIGHEST")
+    p.add_argument("--tower-stem-int8", action="store_true",
+                   help="quantize the stem conv too (input quantized with a "
+                        "calibrated scale; lip frames are 8-bit pixels by "
+                        "construction — see resnet._StemInt8)")
     p.add_argument("--tower-chunk", type=int, default=0,
                    help="frames per video-trunk pass (0 = single pass); "
                         "bounds peak tower activation memory for large "
@@ -103,6 +107,7 @@ def main():
                          tower_int8=args.tower_int8,
                          tower_quant_mode=args.tower_quant_mode,
                          tower_pallas=args.tower_pallas,
+                         tower_stem_int8=args.tower_stem_int8,
                          tower_chunk=args.tower_chunk)
         example = (jnp.zeros((1, 4, 67, 67)),)
     else:
@@ -117,6 +122,7 @@ def main():
                       tower_int8=args.tower_int8,
                       tower_quant_mode=args.tower_quant_mode,
                       tower_pallas=args.tower_pallas,
+                      tower_stem_int8=args.tower_stem_int8,
                       tower_chunk=args.tower_chunk,
                       mcb_precision=(jax.lax.Precision.DEFAULT
                                      if args.mcb_fast

@@ -13,14 +13,14 @@ DR=$Q/data
 echo "=== [1/8] audio train (augmented grid) ==="
 python scripts/train.py --config configs/reference_av.yaml --modality audio \
   --data-root "$DR" --dataset-size subset --epochs 100 --augment \
-  --model-dir "$Q/audio_aug"
+  --model-dir "$Q/audio_aug" --resume
 python scripts/summarize_training.py "$Q/audio_aug" \
   --json-out "$Q/audio_aug/curve.json"
 
 echo "=== [2/8] AV train (augmented grid, frozen round-2 video trunk) ==="
 python scripts/train.py --config configs/reference_av.yaml --modality av \
   --data-root "$DR" --dataset-size subset --epochs 100 --augment \
-  --pretrained-video "$Q/video" --model-dir "$Q/av_aug"
+  --pretrained-video "$Q/video" --model-dir "$Q/av_aug" --resume
 python scripts/summarize_training.py "$Q/av_aug" \
   --json-out "$Q/av_aug/curve.json"
 

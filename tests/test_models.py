@@ -378,6 +378,44 @@ def test_int8_tower_close_to_fp32():
     assert rel2 < 0.05, f"static int8 rel error on held-out batch {rel2:.4f}"
 
 
+def test_int8_stem_close_to_fp32():
+    """stem_int8: quantized-input W8A8 stem conv (resnet._StemInt8) on top
+    of the int8-resident trunk. Same param tree as the float stem (the
+    torchvision (7,7,3,64) kernel), one extra quant scale ("q_in"), and
+    the full tower stays within the int8 noise envelope of the fp32 path
+    in all three scale modes (calibrate->static bit-exact on the
+    calibration batch, static generalizing to held-out frames)."""
+    from avvad_tpu.models.quantize import calibrate
+    from avvad_tpu.models.vad_nets import _VideoTower
+
+    rng = np.random.default_rng(1)
+    v = jnp.asarray(rng.normal(size=(2, 3, 67, 67)).astype(np.float32))
+    v2 = jnp.asarray(rng.normal(size=(2, 3, 67, 67)).astype(np.float32))
+
+    tower = _VideoTower()
+    variables = tower.init(jax.random.PRNGKey(0), v)
+    ref = np.asarray(tower.apply(variables, v, train=False))
+
+    qtower = _VideoTower(quant_int8=True, stem_int8=True)
+    got = np.asarray(qtower.apply(variables, v, train=False))
+    rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+    assert rel < 0.05, f"int8-stem trunk relative error {rel:.4f}"
+    corr = np.corrcoef(got.ravel(), ref.ravel())[0, 1]
+    assert corr > 0.995, f"int8-stem/fp32 feature correlation {corr:.4f}"
+
+    cal = _VideoTower(quant_int8=True, stem_int8=True, quant_mode="calibrate")
+    vars_cal = calibrate(cal, variables, [(v,)], train=False)
+    assert "q_in" in vars_cal["quant"]["features"]
+    stower = _VideoTower(quant_int8=True, stem_int8=True, quant_mode="static")
+    np.testing.assert_array_equal(
+        np.asarray(stower.apply(vars_cal, v, train=False)), got)
+
+    st_new = np.asarray(stower.apply(vars_cal, v2, train=False))
+    ref2 = np.asarray(tower.apply(variables, v2, train=False))
+    rel2 = np.linalg.norm(st_new - ref2) / np.linalg.norm(ref2)
+    assert rel2 < 0.05, f"static int8-stem rel error held-out {rel2:.4f}"
+
+
 def test_masked_bce_finite_at_saturated_logits_under_jit():
     """Regression: XLA reassociated `1 - p + eps` into `(1 + eps) - p`
     (eps vanishes in fp32), so saturated logits made log(0) = -inf and
