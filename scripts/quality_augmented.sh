@@ -73,7 +73,7 @@ python scripts/run_metrics.py --data-root "$DR" --dataset-size subset \
 echo "=== [7b/8] int8 gate over the full grid (54 utterances) ==="
 python scripts/evaluate.py --modality av --data-root "$DR" \
   --dataset-size complete --split test --checkpoint "$Q/av_aug" \
-  --tower-int8 --tower-quant-mode static \
+  --tower-int8 --tower-quant-mode static --calibrate-split validation \
   --output-dir "$Q/av_aug_preds_int8"
 python scripts/run_metrics.py --data-root "$DR" --dataset-size complete \
   --split test --predictions-dir "$Q/av_aug_preds_int8" \
