@@ -133,6 +133,7 @@ class _VideoTower(nn.Module):
     stages_pallas: bool = False  # fused Pallas block kernels (static int8)
     stem_int8: bool = False  # W8A8 stem conv too (see resnet._StemInt8)
     chunk: int = 0  # frames per trunk pass; 0 = single pass
+    chunk_unroll: bool = False  # python-loop chunks instead of lax.scan
 
     @nn.compact
     def __call__(self, video: jax.Array, train: bool = False) -> jax.Array:
@@ -162,13 +163,24 @@ class _VideoTower(nn.Module):
             k = -(-n // c)  # ceil; pad rows are dropped after the scan
             fp = jnp.pad(frames, ((0, k * c - n),) + ((0, 0),) * 3)
             fp = fp.reshape((k, c) + fp.shape[1:])
-            scan = nn.scan(
-                lambda mod, carry, x: (carry, mod(x, False)),
-                variable_broadcast=["params", "batch_stats", "quant"],
-                split_rngs={"params": False},
-                in_axes=0, out_axes=0)
-            _, feats = scan(trunk, None, fp)
-            feats = feats.reshape(k * c, -1)[:n]
+            if self.chunk_unroll:
+                # Unrolled chunks: the lax.scan above is loop-carried, so
+                # XLA strictly serializes the trunk at chunk boundaries
+                # (measured -18% at B=96, BENCH_NOTES). A python loop
+                # emits k INDEPENDENT trunk subgraphs instead — the
+                # scheduler may overlap them while (memory permitting)
+                # still bounding live activations per chunk. Compile time
+                # is O(k): only sensible for a handful of chunks.
+                feats = jnp.concatenate(
+                    [trunk(fp[i], False) for i in range(k)], axis=0)[:n]
+            else:
+                scan = nn.scan(
+                    lambda mod, carry, x: (carry, mod(x, False)),
+                    variable_broadcast=["params", "batch_stats", "quant"],
+                    split_rngs={"params": False},
+                    in_axes=0, out_axes=0)
+                _, feats = scan(trunk, None, fp)
+                feats = feats.reshape(k * c, -1)[:n]
         else:
             feats = trunk(frames, train)
         return feats.reshape(b, t, -1)
@@ -186,6 +198,7 @@ class VideoVAD(nn.Module):
     tower_pallas: bool = False  # fused Pallas block kernels (static int8)
     tower_stem_int8: bool = False  # W8A8 stem conv too (resnet._StemInt8)
     tower_chunk: int = 0  # frames per trunk pass (see _VideoTower.chunk)
+    tower_chunk_unroll: bool = False  # unrolled chunks (see _VideoTower)
     dropout_rate: float = 0.0  # defined-but-disabled in the reference
 
     @nn.compact
@@ -200,6 +213,7 @@ class VideoVAD(nn.Module):
                         stages_pallas=self.tower_pallas,
                         stem_int8=self.tower_stem_int8,
                         chunk=self.tower_chunk,
+                        chunk_unroll=self.tower_chunk_unroll,
                         name="tower")(video, train=train)
         if video_frame_indices is not None:
             x = jnp.take(x, video_frame_indices, axis=1)
@@ -235,6 +249,7 @@ class AVVAD(nn.Module):
     tower_pallas: bool = False  # fused Pallas block kernels (static int8)
     tower_stem_int8: bool = False  # W8A8 stem conv too (resnet._StemInt8)
     tower_chunk: int = 0  # frames per trunk pass (see _VideoTower.chunk)
+    tower_chunk_unroll: bool = False  # unrolled chunks (see _VideoTower)
     # MCB matmul precision. HIGHEST = 6-pass fp32 (parity default); DEFAULT
     # truncates inputs to bf16 — measured quality-neutral for serving (probs
     # shift < 1e-3; see BENCH_NOTES.md) at ~6x the MXU rate.
@@ -247,7 +262,8 @@ class AVVAD(nn.Module):
                                  quant_mode=self.tower_quant_mode,
                                  stages_pallas=self.tower_pallas,
                                  stem_int8=self.tower_stem_int8,
-                                 chunk=self.tower_chunk)
+                                 chunk=self.tower_chunk,
+                                 chunk_unroll=self.tower_chunk_unroll)
         if self.use_mcb:
             self.mcb = CompactBilinearPooling(
                 self.num_audio_features, self.num_video_features,

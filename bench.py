@@ -55,6 +55,10 @@ def main():
     # slices so peak tower activation memory is set by the chunk, not the
     # batch — lifting the B>=96 OOM ceiling (see _VideoTower.chunk).
     tower_chunk = int(os.environ.get("AVVAD_BENCH_CHUNK", "0"))
+    # AVVAD_BENCH_CHUNK_UNROLL=1: unrolled (python-loop) chunks instead of
+    # lax.scan — independent trunk subgraphs the scheduler may overlap,
+    # vs the scan's strict serialization (see _VideoTower.chunk_unroll).
+    chunk_unroll = os.environ.get("AVVAD_BENCH_CHUNK_UNROLL") == "1"
     # AVVAD_BENCH_STEM_INT8: quantize the stem conv too (calibrated input
     # scale; lip frames are 8-bit pixels by construction). Candidate to
     # remove the stem chain's float conv-output traffic (BENCH_NOTES stem
@@ -88,7 +92,8 @@ def main():
                   tower_quant_mode="static" if int8_mode == 2 else "dynamic",
                   tower_pallas=pallas_tower and int8_mode == 2,
                   tower_stem_int8=stem_int8 and int8_mode == 2,
-                  tower_chunk=tower_chunk, mcb_precision=mcb_prec)
+                  tower_chunk=tower_chunk, tower_chunk_unroll=chunk_unroll,
+                  mcb_precision=mcb_prec)
     # Serving ingests the camera's native 30 fps stream: the 62.5 fps video
     # timeline is pure frame DUPLICATION (ffmpeg fps-filter schedule), so
     # the tower runs on the ~0.48*t unique source frames and features are

@@ -59,6 +59,10 @@ def parse_args():
                    help="frames per video-trunk pass (0 = single pass); "
                         "bounds peak tower activation memory for large "
                         "batch x bucket products")
+    p.add_argument("--tower-chunk-unroll", action="store_true",
+                   help="emit chunks as independent unrolled subgraphs "
+                        "instead of a lax.scan (schedulable overlap; "
+                        "compile time O(#chunks))")
     p.add_argument("--calibrate-split", default="train",
                    help="split that provides int8 calibration utterances")
     p.add_argument("--calibrate-utts", type=int, default=8)
@@ -108,7 +112,8 @@ def main():
                          tower_quant_mode=args.tower_quant_mode,
                          tower_pallas=args.tower_pallas,
                          tower_stem_int8=args.tower_stem_int8,
-                         tower_chunk=args.tower_chunk)
+                         tower_chunk=args.tower_chunk,
+                         tower_chunk_unroll=args.tower_chunk_unroll)
         example = (jnp.zeros((1, 4, 67, 67)),)
     else:
         def make_source(split):
@@ -124,6 +129,7 @@ def main():
                       tower_pallas=args.tower_pallas,
                       tower_stem_int8=args.tower_stem_int8,
                       tower_chunk=args.tower_chunk,
+                      tower_chunk_unroll=args.tower_chunk_unroll,
                       mcb_precision=(jax.lax.Precision.DEFAULT
                                      if args.mcb_fast
                                      else jax.lax.Precision.HIGHEST))

@@ -513,6 +513,15 @@ def test_chunked_tower_matches_single_pass():
         atol = 5e-3 if int8 else 1e-6
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=atol, err_msg=f"int8={int8}")
+        # unrolled chunks (python loop -> independent subgraphs the
+        # scheduler may overlap, vs the scan's strict serialization):
+        # same equivalence contract, same variable tree.
+        unrolled = AVVAD(**kw, tower_chunk=4, tower_chunk_unroll=True)
+        out_u = unrolled.apply(variables, jnp.asarray(audio),
+                               jnp.asarray(video), train=False)
+        np.testing.assert_allclose(np.asarray(out_u), np.asarray(ref),
+                                   atol=atol,
+                                   err_msg=f"unrolled int8={int8}")
 
 
 def test_stem_epilogue_pallas_exact():
