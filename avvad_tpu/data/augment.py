@@ -28,6 +28,7 @@ packages/data_handling.py:436-457).
 
 from __future__ import annotations
 
+import threading
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -130,6 +131,7 @@ class AugmentingSource:
 
     def __post_init__(self):
         self._pool = None
+        self._pool_lock = threading.Lock()
         self._is_av = hasattr(self.inner, "video_variant") and \
             "Visual" in type(self.inner).__name__
 
@@ -149,20 +151,31 @@ class AugmentingSource:
         return self.inner.probe_length(self._split(i)[0])
 
     def _speech_pool(self) -> list:
+        # Built under a lock and published atomically only once complete:
+        # the DataLoader calls __getitem__ from worker THREADS, and a
+        # reader observing a partially built pool would draw babble noise
+        # from a nondeterministic subset (or crash on an empty pool),
+        # violating the documented determinism per (seed, epoch, item).
         if self._pool is None:
-            self._pool = []
-            for noisy_rel, _ in self.inner.pairs:
-                x, _fs = read_wav(
-                    self.inner.root + clean_rel_from_noisy(noisy_rel))
-                self._pool.append(x.astype(np.float32))
+            with self._pool_lock:
+                if self._pool is None:
+                    pool = []
+                    for noisy_rel, _ in self.inner.pairs:
+                        x, _fs = read_wav(
+                            self.inner.root + clean_rel_from_noisy(noisy_rel))
+                        pool.append(x.astype(np.float32))
+                    self._pool = pool
         return self._pool
+
+    def _clean_wav(self, utt: int) -> tuple:
+        """Clean signal for an utterance — from the in-memory pool (it
+        holds exactly these arrays) rather than a fresh disk read."""
+        return self._speech_pool()[utt], self.inner.stft_cfg.fs
 
     def _augmented_logspec(self, utt: int, kind: str, snr: float,
                            rng: np.random.Generator) -> np.ndarray:
         cfg: STFTConfig = self.inner.stft_cfg
-        noisy_rel, _ = self.inner.pairs[utt]
-        clean, fs = read_wav(self.inner.root + clean_rel_from_noisy(noisy_rel))
-        clean = clean.astype(np.float32)
+        clean, fs = self._clean_wav(utt)
         pool = self._speech_pool() if kind in ("Babble", "Cafe") else None
         noise = synth_noise(kind, len(clean), rng, pool)
         mixed = peak_normalize(mix_at_snr(clean, noise, snr))
@@ -193,6 +206,21 @@ class AugmentingSource:
         return {"audio": audio, "label": label, "length": audio.shape[0],
                 **meta}
 
+    def feature_item(self, i: int) -> np.ndarray:
+        """Audio features only — the statistics-pass fast path, skipping
+        the video load that `__getitem__` pays for. Truncates to the label
+        length like `__getitem__` does (at 30 fps labels that halves the
+        frame count, so skipping it would put the stats on frames the
+        model never sees); the remaining difference vs `__getitem__` is
+        only the AV video-length truncation, a frame or two of tail. Same
+        (seed, epoch, item) noise realization as `__getitem__`."""
+        utt, kind, snr = self._split(i)
+        rng = np.random.default_rng(
+            np.random.SeedSequence([self.seed, self.epoch, i]))
+        audio = self._augmented_logspec(utt, kind, snr, rng)
+        label = load_label(self.inner.root + self.inner.pairs[utt][1])
+        return audio[: min(audio.shape[0], label.shape[0])]
+
 
 def feature_stats(source, key: str = "audio", max_items: int = 0):
     """Per-bin mean/std over one pass of a source (for --std-norm when the
@@ -205,8 +233,10 @@ def feature_stats(source, key: str = "audio", max_items: int = 0):
     s1 = None
     s2 = None
     count = len(source) if not max_items else min(len(source), max_items)
+    fast = key == "audio" and hasattr(source, "feature_item")
     for i in range(count):
-        x = source[i][key].astype(np.float64)
+        x = (source.feature_item(i) if fast
+             else source[i][key]).astype(np.float64)
         if s1 is None:
             s1 = np.zeros(x.shape[-1])
             s2 = np.zeros(x.shape[-1])

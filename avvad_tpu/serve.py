@@ -255,11 +255,16 @@ class MultiStreamVAD:
         bound (a tick consumes one block per stream, so the cap is the
         drain rate times an ~8 s grace window at the default 16x16 ms)."""
         cap = self.max_backlog_blocks * self.block_frames
-        if self._hub.frames_ready(stream_idx) >= cap:
+        # enforce on the POST-feed count (hub.feed returns it): checking
+        # only the pre-feed state would let a single large message
+        # overshoot the bound by its full size. On the raise the
+        # offending samples are still buffered — the serving front drops
+        # the connection, and reset_stream reclaims the slot.
+        if self._hub.feed(stream_idx, np.asarray(pcm, dtype=np.float32)) \
+                > cap:
             raise ValueError(
                 f"stream {stream_idx} audio backlog exceeds "
                 f"{self.max_backlog_blocks} blocks")
-        self._hub.feed(stream_idx, np.asarray(pcm, dtype=np.float32))
 
     def has_full_block(self, stream_idx: int) -> bool:
         """True when the stream could produce output on the next tick
@@ -513,13 +518,15 @@ class MultiStreamAVVAD:
         accumulation."""
         cap = self.max_backlog_blocks * self.block_frames
         if pcm is not None and len(pcm):
-            if self._hub.frames_ready(stream_idx) >= cap:
+            # post-feed enforcement (see MultiStreamVAD.feed): a single
+            # large message must not overshoot the bound by its size
+            if self._hub.feed(stream_idx,
+                              np.asarray(pcm, dtype=np.float32)) > cap:
                 raise ValueError(
                     f"stream {stream_idx} audio backlog exceeds "
                     f"{self.max_backlog_blocks} blocks")
-            self._hub.feed(stream_idx, np.asarray(pcm, dtype=np.float32))
         if video_frames is not None and len(video_frames):
-            if len(self._vbufs[stream_idx]) >= cap:
+            if len(self._vbufs[stream_idx]) + len(video_frames) > cap:
                 raise ValueError(
                     f"stream {stream_idx} video backlog exceeds "
                     f"{self.max_backlog_blocks} blocks")

@@ -42,7 +42,7 @@ from typing import Optional
 
 import numpy as np
 
-from .serve import MultiStreamAVVAD, MultiStreamVAD
+from .serve import MultiStreamAVVAD, MultiStreamVAD, _to_wire_video
 
 _BYTES_PER_SAMPLE = 4
 _RECV_CHUNK = 1 << 16
@@ -289,9 +289,10 @@ def av_stream_client(address, pcm: np.ndarray, video: np.ndarray,
     as rounded uint8 (type U, 1/4 the payload)."""
     pcm_b = np.asarray(pcm, dtype="<f4").tobytes()
     if video_wire == "u8":
+        # one definition of the wire quantization (serve._to_wire_video),
+        # shared with the server's V->uint8 ingest path
         vtype = b"U"
-        vid = np.clip(np.round(np.asarray(video)), 0, 255
-                      ).astype(np.uint8).reshape(-1, 67, 67)
+        vid = _to_wire_video(video, np.uint8).reshape(-1, 67, 67)
     else:
         vtype = b"V"
         vid = np.asarray(video, dtype="<f4").reshape(-1, 67, 67)

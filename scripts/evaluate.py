@@ -76,7 +76,17 @@ def parse_args():
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard eval batches over a data-axis mesh of this "
                         "size (batch-size must divide it)")
-    return p.parse_args()
+    args = p.parse_args()
+    # the model gates these on quant_int8, so without --tower-int8 they
+    # would silently run the float trunk while the run is labeled
+    # quantized/Pallas — reject the misconfiguration loudly instead
+    if args.tower_stem_int8 and not args.tower_int8:
+        p.error("--tower-stem-int8 requires --tower-int8")
+    if args.tower_pallas and not (args.tower_int8
+                                  and args.tower_quant_mode == "static"):
+        p.error("--tower-pallas requires --tower-int8 "
+                "--tower-quant-mode static")
+    return args
 
 
 def main():

@@ -4,11 +4,23 @@
 # augmented and the round-2 single-condition models over the full grid test
 # split (synth_noisy_testset.py must have rendered it first), producing the
 # per-SNR / per-noise AUC tables behind the AV-vs-audio analysis in
-# QUALITY.md. Runs on the default (TPU) platform.
+# QUALITY.md. Self-contained: step [0/8] renders the synthetic grid and
+# aliases the complete/ layout. Runs on the default (TPU) platform.
 set -euo pipefail
 cd /root/repo
 Q=runs/quality
 DR=$Q/data
+
+echo "=== [0/8] render the synthetic grid (idempotent) ==="
+# The grouped-stats scoring below runs with --dataset-size complete; the
+# quality-pipeline data root only has a subset tree, so alias it (the
+# catalog's complete/subset distinction is a directory-layout choice, and
+# the synthesized Noisy/<kind>/<snr>/ grid mirrors the complete layout).
+[ -e "$DR/complete" ] || ln -s subset "$DR/complete"
+# Render dev+test so static-int8 calibration has a non-test split to
+# draw from (the synthesized grid has no train split).
+python scripts/synth_noisy_testset.py --data-root "$DR" \
+  --splits validation test --seed 123
 
 echo "=== [1/8] audio train (augmented grid) ==="
 python scripts/train.py --config configs/reference_av.yaml --modality audio \

@@ -94,3 +94,50 @@ def test_augmenting_av_source(ref_subset):
     assert item["video"].shape[1:] == (67, 67)
     assert item["video"].shape[0] == item["audio"].shape[0] \
         == item["label"].shape[0]
+
+
+def test_concurrent_pool_first_touch_is_deterministic(ref_subset):
+    """The babble/cafe speech pool is built lazily and __getitem__ runs on
+    DataLoader worker THREADS: a reader must never observe a partially
+    built pool (which would draw noise from a nondeterministic subset or
+    crash on an empty one). Regression for the atomic-publish + lock fix."""
+    import concurrent.futures as cf
+
+    from avvad_tpu.data import AudioSequenceSource
+
+    root = os.path.join(ref_subset, "processed/")
+    inner = AudioSequenceSource(root, "train", "subset", "vad_labels",
+                                upsampled=False)
+    # Babble items only (kind index 0): all of them touch the pool
+    babble_items = [i for i in range(len(AugmentingSource(inner, seed=0)))
+                    if AugmentingSource(inner, seed=0)._split(i)[1] == "Babble"]
+
+    serial_src = AugmentingSource(inner, seed=0)
+    serial = {i: serial_src[i]["audio"] for i in babble_items}
+
+    for _ in range(3):  # several cold starts to give a race a chance
+        src = AugmentingSource(inner, seed=0)  # fresh: pool unbuilt
+        with cf.ThreadPoolExecutor(max_workers=8) as ex:
+            results = list(ex.map(lambda i: (i, src[i]["audio"]),
+                                  babble_items))
+        for i, audio in results:
+            np.testing.assert_array_equal(audio, serial[i])
+
+
+def test_feature_stats_fast_path_matches_item_path(ref_subset):
+    """feature_stats uses the audio-only fast path (feature_item) on
+    augmenting sources; its realizations must match __getitem__'s for the
+    same (seed, epoch, item)."""
+    from avvad_tpu.data import AudioSequenceSource
+
+    root = os.path.join(ref_subset, "processed/")
+    inner = AudioSequenceSource(root, "train", "subset", "vad_labels",
+                                upsampled=False)
+    src = AugmentingSource(inner, seed=7)
+    for i in (0, 5, 11):
+        # audio-only source: the fast path applies the same label-length
+        # truncation, so it must agree exactly (at 30 fps labels the
+        # truncation halves the frame count — a fast path without it
+        # would compute stats over frames the model never sees)
+        np.testing.assert_array_equal(src.feature_item(i),
+                                      src[i]["audio"])

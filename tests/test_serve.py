@@ -139,7 +139,10 @@ def test_multistream_matches_solo_streams(ref_subset):
                           fixed_peak=float(np.max(np.abs(x))))
         solo_outs.append(np.concatenate([sv.feed(x), sv.flush()]))
 
-    ms = MultiStreamVAD(model, variables, n_streams=3, block_frames=8)
+    # bulk-feeding whole utterances: give the backlog cap headroom (the
+    # strict post-feed bound is exercised by test_multistream_backlog_caps)
+    ms = MultiStreamVAD(model, variables, n_streams=3, block_frames=8,
+                        max_backlog_blocks=256)
     for i, x in enumerate(signals):
         ms.feed(i, x)  # peak becomes the global max, like fixed_peak above
     collected = [[] for _ in range(3)]

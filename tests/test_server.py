@@ -166,16 +166,30 @@ def test_multistream_backlog_caps():
     ms = MultiStreamAVVAD(model, variables, n_streams=1, block_frames=4,
                           max_backlog_blocks=2)
     cap_frames = 2 * 4
-    # video-only flood: fine up to the cap, then refused
+    # video-only flood: fine up to exactly the cap, then refused — and a
+    # SINGLE oversized message is refused too (the bound is on the
+    # post-feed state, not the pre-feed state, so one big message cannot
+    # overshoot it)
     ms.feed(0, video_frames=np.zeros((cap_frames, 67, 67), np.float32))
     with pytest.raises(ValueError, match="video backlog"):
         ms.feed(0, video_frames=np.zeros((1, 67, 67), np.float32))
-    # audio-only flood on the other modality
+    # audio-only flood on the other modality: cap_frames buffered is fine,
+    # one more frame's worth of samples is refused
     cfg = ms.cfg
-    samples_per_cap = cfg.nfft + cfg.hopsamp * cap_frames
+    samples_per_cap = cfg.nfft + cfg.hopsamp * (cap_frames - 1)
     ms.feed(0, pcm=np.zeros(samples_per_cap, np.float32))
     with pytest.raises(ValueError, match="audio backlog"):
         ms.feed(0, pcm=np.zeros(cfg.hopsamp, np.float32))
+    # a SINGLE oversized message is refused too: the bound is on the
+    # post-feed state, so one big message cannot overshoot it
+    ms2 = MultiStreamAVVAD(model, variables, n_streams=1, block_frames=4,
+                           max_backlog_blocks=2)
+    with pytest.raises(ValueError, match="audio backlog"):
+        ms2.feed(0, pcm=np.zeros(cfg.nfft + cfg.hopsamp * 100 * cap_frames,
+                                 np.float32))
+    with pytest.raises(ValueError, match="video backlog"):
+        ms2.feed(0, video_frames=np.zeros((10 * cap_frames, 67, 67),
+                                          np.float32))
     # draining via ticks frees budget again
     ms.tick()
     ms.feed(0, pcm=np.zeros(cfg.hopsamp, np.float32))
