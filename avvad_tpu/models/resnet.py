@@ -22,14 +22,9 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
-def _weight_qparams(kernel: jax.Array):
-    """Symmetric per-output-channel int8 weight quantization. Recomputed
-    from the stored float param per call (the kernel is tiny next to the
-    activations; checkpoints stay float and torch-importable)."""
-    w_scale = jnp.maximum(
-        jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-8) / 127.0  # (O,)
-    w_q = jnp.round(kernel / w_scale).astype(jnp.int8)
-    return w_q, w_scale
+# shared with ops.conv_pallas: both int8 trunk paths must quantize the
+# same float checkpoint to the same ints — see ops/qparams.py
+from ..ops.qparams import weight_qparams as _weight_qparams
 
 
 def _conv_i8(x_q: jax.Array, w_q: jax.Array, strides, padding) -> jax.Array:

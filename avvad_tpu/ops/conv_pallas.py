@@ -50,6 +50,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# one weight-quantizer definition with the XLA int8 tower (ops/qparams.py)
+from .qparams import weight_qparams as _wq
+
 
 def _interpret() -> bool:
     return jax.devices()[0].platform == "cpu"
@@ -100,13 +103,11 @@ def _block_kernel(H: int, W: int, stride: int, has_down: bool,
     y1_ref[...] = jnp.zeros_like(y1_ref)
     o_ref[...] = jnp.zeros_like(o_ref)
 
-    # Measured on v5e: unrolling the pixel loop (static plane indices)
-    # gains ~11% on layer3 shapes but keeps every pixel's (Cout, TN)
-    # accumulator live, overflowing the 16 MB scoped VMEM at layer4
-    # (512-channel) shapes. The rolled fori_loop fits everywhere; see the
-    # negative-result section in BENCH_NOTES.md.
-    unroll = False
-
+    # Pixel loops are rolled (fori_loop). Measured on v5e: unrolling them
+    # (static plane indices) gains ~11% on layer3 shapes but keeps every
+    # pixel's (Cout, TN) accumulator live, overflowing the 16 MB scoped
+    # VMEM at layer4 (512-channel) shapes; the rolled loop fits
+    # everywhere. See the negative-result section in BENCH_NOTES.md.
     def conv1_px(i, _):
         h = i // Wo
         w = i % Wo
@@ -122,11 +123,7 @@ def _block_kernel(H: int, W: int, stride: int, has_down: bool,
         y1_ref[pl.ds((h + 1) * Wop + (w + 1), 1)] = q.astype(jnp.int8)[None]
         return 0
 
-    if unroll:
-        for i in range(Ho * Wo):
-            conv1_px(i, 0)
-    else:
-        jax.lax.fori_loop(0, Ho * Wo, conv1_px, 0)
+    jax.lax.fori_loop(0, Ho * Wo, conv1_px, 0)
 
     def conv2_px(i, _):
         h = i // Wo
@@ -152,11 +149,7 @@ def _block_kernel(H: int, W: int, stride: int, has_down: bool,
         o_ref[pl.ds((h + 1) * Wop + (w + 1), 1)] = q.astype(jnp.int8)[None]
         return 0
 
-    if unroll:
-        for i in range(Ho * Wo):
-            conv2_px(i, 0)
-    else:
-        jax.lax.fori_loop(0, Ho * Wo, conv2_px, 0)
+    jax.lax.fori_loop(0, Ho * Wo, conv2_px, 0)
 
 
 def basic_block_int8(
@@ -221,16 +214,6 @@ def basic_block_int8(
 
 
 # -- epilogue folding ---------------------------------------------------------
-
-
-def _wq(kernel: jax.Array):
-    """Symmetric per-output-channel int8 weight quantization — must match
-    models.resnet._weight_qparams exactly (same checkpoint, same ints)."""
-    w_scale = jnp.maximum(
-        jnp.max(jnp.abs(kernel), axis=tuple(range(kernel.ndim - 1))),
-        1e-8) / 127.0
-    w_q = jnp.round(kernel / w_scale).astype(jnp.int8)
-    return w_q, w_scale
 
 
 def _bn_affine(bn_params: dict, bn_stats: dict, eps: float):

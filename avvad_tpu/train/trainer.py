@@ -95,6 +95,11 @@ class Trainer:
         return Prefetcher(loader) if self.prefetch else iter(loader)
 
     def train_epoch(self, loader: DataLoader, epoch: int) -> dict:
+        # Pin the loader's epoch to the trainer's: the loader's internal
+        # counter restarts at 0 on every process start, so a resumed run
+        # would otherwise replay the shuffle orders and augmentation noise
+        # realizations of the epochs it already trained on.
+        loader.epoch = epoch
         acc = MetricAccumulator()
         n_total = len(loader.source)
         seen = 0

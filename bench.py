@@ -82,6 +82,15 @@ def main():
     fe_prec = (jax.lax.Precision.HIGH
                if os.environ.get("AVVAD_BENCH_FE_PREC") == "high"
                else jax.lax.Precision.HIGHEST)
+    # these require the calibrated static-int8 tower; dropping them
+    # silently would mislabel the measured config (same misconfiguration
+    # class scripts/evaluate.py rejects)
+    if pallas_tower and int8_mode != 2:
+        raise SystemExit("AVVAD_BENCH_PALLAS_TOWER=1 requires "
+                         "AVVAD_BENCH_INT8=2 (calibrated static scales)")
+    if stem_int8 and int8_mode != 2:
+        raise SystemExit("AVVAD_BENCH_STEM_INT8=1 requires "
+                         "AVVAD_BENCH_INT8=2 (calibrated static scales)")
     n_samples = hop * (t - 1) + 1024  # exactly t STFT frames, no end pad
 
     # bf16 towers (+12% vs f32, probabilities agree to <1e-4); the DFT
@@ -90,8 +99,8 @@ def main():
                   use_pallas_lstm=True, dtype=jnp.bfloat16,
                   tower_int8=int8_mode > 0,
                   tower_quant_mode="static" if int8_mode == 2 else "dynamic",
-                  tower_pallas=pallas_tower and int8_mode == 2,
-                  tower_stem_int8=stem_int8 and int8_mode == 2,
+                  tower_pallas=pallas_tower,
+                  tower_stem_int8=stem_int8,
                   tower_chunk=tower_chunk, tower_chunk_unroll=chunk_unroll,
                   mcb_precision=mcb_prec)
     # Serving ingests the camera's native 30 fps stream: the 62.5 fps video

@@ -56,6 +56,10 @@ def main():
             rel = os.path.relpath(path, clean_root)
             for ki, kind in enumerate(NOISE_KINDS):
                 for si, snr in enumerate(SNRS_DB):
+                    out = os.path.join(processed, "ntcd_timit/Noisy", kind,
+                                       str(int(snr)), split_dir[split], rel)
+                    if os.path.exists(out):
+                        continue  # keep corpus-rendered conditions
                     rng = np.random.default_rng(np.random.SeedSequence(
                         [args.seed, ci, ki, si]))
                     noise = synth_noise(kind, len(clean), rng, pool)
@@ -63,10 +67,6 @@ def main():
                     peak = float(np.max(np.abs(mixed)))
                     if peak > 0.98:  # headroom for int16 (load re-normalizes)
                         mixed = mixed * (0.98 / peak)
-                    out = os.path.join(processed, "ntcd_timit/Noisy", kind,
-                                       str(int(snr)), split_dir[split], rel)
-                    if os.path.exists(out):
-                        continue  # keep corpus-rendered conditions
                     os.makedirs(os.path.dirname(out), exist_ok=True)
                     write_wav(out, mixed, fs)
                     n_written += 1

@@ -162,12 +162,17 @@ def main():
             if args.augment:
                 # the pre-rendered statistics h5 describes the fixture's
                 # single Babble@-5 condition; compute per-bin stats over
-                # one pass of the augmented grid instead
-                from avvad_tpu.data import feature_stats
+                # one pass of the augmented grid instead. On --resume the
+                # identical (deterministic) stats are already stored in
+                # the checkpoint — skip the full-grid pass here and let
+                # the restore below provide them (recomputed after the
+                # restore only if the checkpoint predates stats storage).
+                if not (args.resume and latest_checkpoint(args.model_dir)):
+                    from avvad_tpu.data import feature_stats
 
-                m, s = feature_stats(train_src)
-                norm_stats["audio_mean"], norm_stats["audio_std"] = m, s
-                print("augmented-grid audio statistics computed")
+                    m, s = feature_stats(train_src)
+                    norm_stats["audio_mean"], norm_stats["audio_std"] = m, s
+                    print("augmented-grid audio statistics computed")
             elif os.path.exists(audio_stats):
                 m, s = load_statistics(audio_stats)
                 norm_stats["audio_mean"], norm_stats["audio_std"] = m, s
@@ -175,7 +180,9 @@ def main():
             m, s = load_statistics(video_stats)
             norm_stats["video_mean"], norm_stats["video_std"] = m, s
         if not norm_stats:
-            print("warning: no statistics h5 found; training unnormalized")
+            if not args.augment:
+                print("warning: no statistics h5 found; training "
+                      "unnormalized")
             norm_stats = None
 
     # model + optimizer
@@ -208,9 +215,22 @@ def main():
         if ck:
             state, restored_norm, epoch = restore_checkpoint(ck, state)
             start_epoch = epoch + 1
-            if restored_norm and norm_stats is None:
+            if restored_norm:
+                # keys computed this start (e.g. video h5 stats) win;
+                # checkpoint stats fill whatever was deferred to resume
+                # (the augmented-grid audio pass above)
+                restored_norm.update(norm_stats or {})
                 norm_stats = restored_norm
             print(f"resumed from {ck} (next epoch {start_epoch})")
+    if (args.std_norm and args.augment
+            and (norm_stats is None or "audio_mean" not in norm_stats)):
+        # resume path with a checkpoint that predates stats storage
+        from avvad_tpu.data import feature_stats
+
+        m, s = feature_stats(train_src)
+        norm_stats = dict(norm_stats or {})
+        norm_stats["audio_mean"], norm_stats["audio_std"] = m, s
+        print("augmented-grid audio statistics computed")
 
     if args.pretrained_video:
         new_params, new_bs = load_pretrained_trunk(

@@ -162,3 +162,43 @@ def test_dropout_option_trains_and_randomizes():
     step = make_train_step("audio", donate=False, dropout=True)
     state, metrics = step(state, batch, None)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_train_epoch_pins_loader_epoch_for_resume(tmp_path):
+    """A resumed run re-creates the DataLoader with its internal epoch
+    counter at 0; train_epoch must pin it to the trainer's epoch or the
+    resumed epochs replay the shuffle orders and augmentation noise
+    realizations already trained on (regression)."""
+    from avvad_tpu.train import Trainer
+
+    class RecordingSource:
+        def __init__(self):
+            self.epochs_seen = []
+
+        def __len__(self):
+            return 2
+
+        def set_epoch(self, e):
+            self.epochs_seen.append(e)
+
+        def __getitem__(self, i):
+            rng = np.random.default_rng(i)
+            return {"audio": rng.normal(size=(16, 513)).astype(np.float32),
+                    "label": np.ones((16, 1), np.float32),
+                    "length": 16}
+
+    model = AudioVAD(y_dim=1, lstm_hidden_size=8, lstm_layers=1)
+    tx = make_optimizer(learning_rate=1e-3)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), (jnp.zeros((1, 16, 513)),), tx)
+    trainer = Trainer(state, "audio", str(tmp_path), prefetch=False)
+
+    src = RecordingSource()
+    loader = DataLoader(src, batch_size=2, shuffle=True, bucket=16)
+    trainer.train_epoch(loader, epoch=7)
+    # fresh-process loader (epoch counter 0), as after --resume
+    src2 = RecordingSource()
+    loader2 = DataLoader(src2, batch_size=2, shuffle=True, bucket=16)
+    trainer.train_epoch(loader2, epoch=8)
+    assert src.epochs_seen == [7]
+    assert src2.epochs_seen == [8]
