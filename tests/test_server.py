@@ -344,3 +344,87 @@ def test_av_server_drops_on_disconnect_with_partial_message():
         server.stop()
         t.join(timeout=10)
         server.close()
+
+
+def test_av_server_survives_arbitrary_fragmentation():
+    """The framed protocol must be invariant to TCP segmentation: the same
+    wire bytes delivered in adversarially tiny/ragged fragments (headers
+    split across reads, messages spanning fragments) must produce the
+    same probabilities as one clean send."""
+    import socket as socket_mod
+
+    from avvad_tpu.models import AVVAD
+    from avvad_tpu.serve import MultiStreamAVVAD, StreamingAVVAD
+    from avvad_tpu.server import av_frame
+
+    model = AVVAD(y_dim=1, lstm_hidden_size=8, lstm_layers=1, use_mcb=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 513)),
+                           jnp.zeros((1, 4, 67, 67)))
+    bf = 4
+    ms = MultiStreamAVVAD(model, variables, n_streams=1, block_frames=bf)
+    server = VADServer(ms)
+    t = threading.Thread(target=server.serve_forever,
+                        kwargs={"timeout": 0.002, "warmup": False},
+                        daemon=True)
+    t.start()
+    try:
+        sig = _signals(1, samples=6000)[0]
+        cfg = ms.cfg
+        n_frames = 1 + (len(sig) - cfg.nfft) // cfg.hopsamp
+        rng = np.random.default_rng(11)
+        video = rng.normal(size=(n_frames, 67, 67)).astype(np.float32)
+        n_out = (n_frames // bf) * bf
+
+        # the full wire byte stream: interleaved A/V messages, 4 frames per
+        # video message, matching audio spans
+        wire = b""
+        spp = cfg.hopsamp * 4
+        a_off = v_off = 0
+        while a_off < len(sig) or v_off < n_frames:
+            a_end = min(a_off + spp + (cfg.nfft if a_off == 0 else 0),
+                        len(sig))
+            if a_end > a_off:
+                wire += av_frame(b"A", sig[a_off:a_end]
+                                 .astype("<f4").tobytes())
+                a_off = a_end
+            v_end = min(v_off + 4, n_frames)
+            if v_end > v_off:
+                wire += av_frame(b"V", video[v_off:v_end]
+                                 .astype("<f4").tobytes())
+                v_off = v_end
+
+        got = []
+        with socket_mod.create_connection(server.address, timeout=30) as s:
+            s.settimeout(30)
+            off = 0
+            while off < len(wire):
+                # ragged fragments, frequently 1-3 bytes (splits headers)
+                n = int(rng.integers(1, 4)) if rng.random() < 0.5 \
+                    else int(rng.integers(4, 2000))
+                s.sendall(wire[off:off + n])
+                off += n
+                # drain whatever the server emitted meanwhile
+                s.settimeout(0.0)
+                try:
+                    part = s.recv(1 << 20)
+                    if part:
+                        got.append(part)
+                except (BlockingIOError, socket_mod.timeout, OSError):
+                    pass
+                s.settimeout(30)
+            while sum(len(p) for p in got) < n_out * 4:
+                part = s.recv(1 << 20)
+                if not part:
+                    break
+                got.append(part)
+        probs = np.frombuffer(b"".join(got), dtype="<f4")[:n_out]
+
+        sv = StreamingAVVAD(model, variables, block_frames=bf,
+                            fixed_peak=1.0)
+        ref = np.concatenate([sv.feed(sig, video), sv.flush()])[:n_out]
+        assert len(probs) == n_out
+        np.testing.assert_allclose(probs, ref, atol=1e-5)
+    finally:
+        server.stop()
+        t.join(timeout=10)
+        server.close()
