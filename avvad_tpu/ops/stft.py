@@ -100,6 +100,73 @@ def _dft_split_radix(frames: jax.Array, nfft: int, precision,
     return re, im
 
 
+@functools.lru_cache(maxsize=8)
+def _hop_dft_bases(nfft: int, hop: int):
+    """Bases for the hop-block DFT (see _dft_hop_blocks).
+
+    Returns the UNWINDOWED (hop, n_freq) cos/sin bases evaluated on the
+    frame-length frequency grid, plus the (r, n_freq) twiddle arrays
+    e^{-2pi i k s hop / nfft} that assemble a frame's DFT from its r
+    consecutive hop-block DFTs (r = nfft // hop). For the canonical
+    hop = nfft/4 the twiddles are exactly {1, -i, -1, i}: the assembly is
+    a radix-4 decimation-in-time final stage, i.e. sign flips and
+    real/imag swaps."""
+    r = nfft // hop
+    n_freq = nfft // 2 + 1
+    n = np.arange(hop, dtype=np.float64)[:, None]
+    k = np.arange(n_freq, dtype=np.float64)[None, :]
+    ang = 2.0 * np.pi * n * k / nfft                       # (hop, n_freq)
+    s = np.arange(r, dtype=np.float64)[:, None]
+    tw = 2.0 * np.pi * s * k * hop / nfft                  # (r, n_freq)
+    f = lambda a: a.astype(np.float32)  # noqa: E731
+    return (f(np.cos(ang)), f(-np.sin(ang)),
+            f(np.cos(tw)), f(-np.sin(tw)))
+
+
+def _dft_hop_blocks(x: jax.Array, nfft: int, hop: int, n_frames: int,
+                    precision) -> tuple[jax.Array, jax.Array]:
+    """Windowed real DFT of all frames of (..., n) signal `x`, exploiting
+    the 75% frame overlap: frames at hop h share their samples, so the
+    DFT matmul runs once per LENGTH-hop BLOCK (K=hop contraction) instead
+    of once per length-nfft frame, and each frame's spectrum is assembled
+    from its r = nfft/hop block spectra with constant twiddles — ~r times
+    fewer matmul FLOPs at identical fp32 precision.
+
+    The periodic Hann window (0.5 - 0.5 cos(2pi n/N)) cannot be folded
+    into the block bases (it spans the whole frame), but its DFT is three
+    integer-bin taps, so windowing is applied EXACTLY in frequency:
+      Xw(k) = 0.5 X(k) - 0.25 X(k-1) - 0.25 X(k+1)   (circular),
+    with the k=-1 / k=nfft/2+1 neighbours supplied by real-input
+    conjugate symmetry. Everything reads in natural order — no polyphase
+    relayout (the measured trap of the split-radix variant on this
+    backend, BENCH_NOTES.md)."""
+    r = nfft // hop
+    n_freq = nfft // 2 + 1
+    c_b, s_b, t_re, t_im = _hop_dft_bases(nfft, hop)
+    nb = n_frames - 1 + r
+    blocks = x[..., : nb * hop].reshape(x.shape[:-1] + (nb, hop))
+    dot = functools.partial(jnp.matmul, precision=precision,
+                            preferred_element_type=jnp.float32)
+    b_re = dot(blocks, jnp.asarray(c_b))                   # (..., nb, F)
+    b_im = dot(blocks, jnp.asarray(s_b))
+    re = jnp.zeros(b_re.shape[:-2] + (n_frames, n_freq), jnp.float32)
+    im = re
+    for si in range(r):
+        sr = b_re[..., si : si + n_frames, :]
+        sim = b_im[..., si : si + n_frames, :]
+        re = re + (sr * t_re[si] - sim * t_im[si])
+        im = im + (sr * t_im[si] + sim * t_re[si])
+    # periodic-Hann as exact 3-tap frequency conv; neighbours outside the
+    # half spectrum come from conjugate symmetry: X(-1) = conj(X(1)),
+    # X(nfft/2 + 1) = conj(X(nfft/2 - 1))
+    re_l = jnp.concatenate([re[..., 1:2], re[..., :-1]], axis=-1)
+    re_r = jnp.concatenate([re[..., 1:], re[..., -2:-1]], axis=-1)
+    im_l = jnp.concatenate([-im[..., 1:2], im[..., :-1]], axis=-1)
+    im_r = jnp.concatenate([im[..., 1:], -im[..., -2:-1]], axis=-1)
+    return (0.5 * re - 0.25 * (re_l + re_r),
+            0.5 * im - 0.25 * (im_l + im_r))
+
+
 def _needs_end_pad(n_samples: int, fs: float, wlen_sec: float, hop_percent: float) -> bool:
     utt_len = n_samples / fs
     ratio = utt_len / wlen_sec / hop_percent
@@ -155,7 +222,8 @@ def _pad_signal(
 
 @functools.partial(jax.jit, static_argnames=("fs", "wlen_sec", "hop_percent",
                                              "center", "pad_at_end",
-                                             "precision", "split_radix"))
+                                             "precision", "split_radix",
+                                             "hop_dft"))
 def stft_frames(
     x: jax.Array,
     fs: int = 16000,
@@ -165,6 +233,7 @@ def stft_frames(
     pad_at_end: bool = True,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
     split_radix: bool = False,
+    hop_dft: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """STFT of a (..., n_samples) batch -> (re, im), each (..., n_frames, n_freq).
 
@@ -172,10 +241,16 @@ def stft_frames(
     time-major (T, F) layout so the lane dimension is frequency.
     `split_radix`: compute the DFT via the Cooley-Tukey two-stage split
     (_dft_split_radix) — same fp32 math reordered, ~3.7x fewer FLOPs.
+    `hop_dft`: one DFT matmul per hop block + exact radix-r assembly and
+    frequency-domain Hann (_dft_hop_blocks) — ~nfft/hop fewer matmul
+    FLOPs with no relayout.
     """
     nfft = int(wlen_sec * fs)
     hop = int(hop_percent * nfft)
     x = _pad_signal(x, nfft, hop, fs, wlen_sec, hop_percent, center, pad_at_end)
+    if hop_dft and nfft % hop == 0:
+        n_frames = 1 + (x.shape[-1] - nfft) // hop
+        return _dft_hop_blocks(x, nfft, hop, n_frames, precision)
     frames = frame_signal(x, nfft, hop)  # (..., T, nfft)
     if split_radix and nfft % 8 == 0:
         return _dft_split_radix(frames, nfft, precision)
@@ -195,7 +270,7 @@ def stft_frames(
 @functools.partial(jax.jit, static_argnames=("fs", "wlen_sec", "hop_percent",
                                              "center", "pad_at_end",
                                              "peak_norm", "precision",
-                                             "split_radix"))
+                                             "split_radix", "hop_dft"))
 def log_power_frontend(
     x: jax.Array,
     fs: int = 16000,
@@ -207,19 +282,21 @@ def log_power_frontend(
     peak_norm: bool = True,
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
     split_radix: bool = False,
+    hop_dft: bool = False,
 ) -> jax.Array:
     """Fused waveform -> log(|STFT|^2 + eps), (..., T, F) float32.
 
     Equivalent to the reference's per-utterance pipeline: peak-normalize,
     torch.stft, power, log (/root/reference/packages/data_handling.py:285-301),
-    as a single compiled computation. `precision`/`split_radix`: see
-    stft_frames.
+    as a single compiled computation. `precision`/`split_radix`/`hop_dft`:
+    see stft_frames.
     """
     if peak_norm:
         x = x / jnp.max(jnp.abs(x), axis=-1, keepdims=True)
     re, im = stft_frames(x, fs=fs, wlen_sec=wlen_sec, hop_percent=hop_percent,
                          center=center, pad_at_end=pad_at_end,
-                         precision=precision, split_radix=split_radix)
+                         precision=precision, split_radix=split_radix,
+                         hop_dft=hop_dft)
     return jnp.log(re * re + im * im + eps)
 
 

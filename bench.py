@@ -138,11 +138,18 @@ def main():
             [(init_audio[:2], video[:2])],
             train=False, video_frame_indices=frame_idx)
 
+    # AVVAD_BENCH_HOP_DFT=1: hop-block DFT frontend (one K=256 matmul per
+    # hop block + exact radix-4 assembly + frequency-domain Hann) — ~4x
+    # fewer frontend matmul FLOPs at the same fp32 precision
+    # (ops/stft._dft_hop_blocks; exactness pinned in test_ops_stft).
+    hop_dft = os.environ.get("AVVAD_BENCH_HOP_DFT") == "1"
+
     @jax.jit
     def serve(wave, video):
         feats = log_power_frontend(wave, fs=fs, wlen_sec=64e-3,
                                    hop_percent=0.25, center=False,
-                                   pad_at_end=True, precision=fe_prec)
+                                   pad_at_end=True, precision=fe_prec,
+                                   hop_dft=hop_dft)
         feats = feats[:, :t, :]
         return jax.nn.sigmoid(model.apply(variables, feats, video, train=False,
                                           video_frame_indices=frame_idx))
