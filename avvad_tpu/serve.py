@@ -50,6 +50,32 @@ def _to_wire_video(frames, dtype) -> np.ndarray:
     return np.ascontiguousarray(frames, dtype=dtype)
 
 
+def _serving_shardings(mesh, n_streams: int):
+    """(stream_sharding, replicated) for a multi-stream server on a device
+    mesh: streams shard over the `data` axis (ticks are embarrassingly
+    parallel — every per-stream row of the batched step is independent,
+    so XLA inserts no collectives), variables replicate. Scaling serving
+    over chips is then the same code path as one chip."""
+    if mesh is None:
+        return None, None
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    if "data" not in mesh.axis_names:
+        raise ValueError("serving mesh needs a 'data' axis")
+    n_data = mesh.shape["data"]
+    if n_streams % n_data:
+        raise ValueError(f"n_streams={n_streams} must be divisible by the "
+                         f"mesh data axis ({n_data})")
+    return (NamedSharding(mesh, PartitionSpec("data")),
+            NamedSharding(mesh, PartitionSpec()))
+
+
+def _put_streams(x, sharding):
+    """Host array -> device, stream-sharded when a serving mesh is set."""
+    x = jnp.asarray(x)
+    return x if sharding is None else jax.device_put(x, sharding)
+
+
 def _log_power_feats(frames, peaks, cos_b, sin_b, eps, mean, std):
     """Shared streaming frontend: peak-normalized raw sample frames ->
     (optionally dataset-normalized) log-power features. `peaks` must
@@ -189,8 +215,14 @@ class MultiStreamVAD:
                  stft_cfg: STFTConfig = STFTConfig(),
                  block_frames: int = 16,
                  native: bool = True,
-                 max_backlog_blocks: int = 32):
+                 max_backlog_blocks: int = 32,
+                 mesh=None):
         self.model = model
+        # mesh: shard the tick over the mesh's `data` axis (streams are
+        # independent rows — no collectives); variables replicate
+        self._stream_sharding, repl = _serving_shardings(mesh, n_streams)
+        if repl is not None:
+            variables = jax.device_put(variables, repl)
         self.variables = variables
         self.n = n_streams
         self.cfg = stft_cfg
@@ -214,7 +246,9 @@ class MultiStreamVAD:
     def reset(self) -> None:
         self._hub.reset()
         h = self.model.lstm_hidden_size
-        self._carries = [(jnp.zeros((self.n, h)), jnp.zeros((self.n, h)))
+        sh = self._stream_sharding
+        self._carries = [(_put_streams(jnp.zeros((self.n, h)), sh),
+                          _put_streams(jnp.zeros((self.n, h)), sh))
                          for _ in range(self.model.lstm_layers)]
 
     def _build_step(self):
@@ -291,9 +325,11 @@ class MultiStreamVAD:
         blocks, peaks, active, n_active = self._hub.assemble()
         if n_active == 0:
             return {}
+        sh = self._stream_sharding
         probs, self._carries = self._step(
-            self.variables, jnp.asarray(blocks), jnp.asarray(peaks),
-            jnp.asarray(active), self._carries)
+            self.variables, _put_streams(blocks, sh),
+            _put_streams(peaks, sh), _put_streams(active, sh),
+            self._carries)
         if fetch:
             probs = np.asarray(probs)
         return {i: probs[i] for i in range(self.n) if active[i]}
@@ -434,8 +470,13 @@ class MultiStreamAVVAD:
                  block_frames: int = 16,
                  native: bool = True,
                  max_backlog_blocks: int = 32,
-                 video_uint8: bool = False):
+                 video_uint8: bool = False,
+                 mesh=None):
         self.model = model
+        # mesh: see MultiStreamVAD — streams shard over the `data` axis
+        self._stream_sharding, repl = _serving_shardings(mesh, n_streams)
+        if repl is not None:
+            variables = jax.device_put(variables, repl)
         self.variables = variables
         self.n = n_streams
         self.cfg = stft_cfg
@@ -465,7 +506,9 @@ class MultiStreamAVVAD:
         self._vbufs = [np.zeros((0, 67, 67), self._vdtype)
                        for _ in range(self.n)]
         h = self.model.lstm_hidden_size
-        self._carries = [(jnp.zeros((self.n, h)), jnp.zeros((self.n, h)))
+        sh = self._stream_sharding
+        self._carries = [(_put_streams(jnp.zeros((self.n, h)), sh),
+                          _put_streams(jnp.zeros((self.n, h)), sh))
                          for _ in range(self.model.lstm_layers)]
 
     def _build_step(self):
@@ -563,9 +606,11 @@ class MultiStreamAVVAD:
             if active[i]:
                 self._vout[i] = self._vbufs[i][:bf]
                 self._vbufs[i] = self._vbufs[i][bf:]
+        sh = self._stream_sharding
         probs, self._carries = self._step(
-            self.variables, jnp.asarray(blocks), jnp.asarray(self._vout),
-            jnp.asarray(peaks), jnp.asarray(active), self._carries)
+            self.variables, _put_streams(blocks, sh),
+            _put_streams(self._vout, sh), _put_streams(peaks, sh),
+            _put_streams(active, sh), self._carries)
         if fetch:
             probs = np.asarray(probs)
         return {i: probs[i] for i in range(self.n) if active[i]}

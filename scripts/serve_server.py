@@ -40,6 +40,10 @@ def main():
     p.add_argument("--y-dim", type=int, default=1)
     p.add_argument("--mcb", action=argparse.BooleanOptionalAction, default=True,
                    help="AV fusion: MCB (default) or concat")
+    p.add_argument("--data-parallel", type=int, default=0,
+                   help="shard streams over a data-axis mesh of this size "
+                        "(streams must divide it; per-stream ticks need no "
+                        "collectives)")
     args = p.parse_args()
 
     import jax
@@ -74,9 +78,16 @@ def main():
     print(f"serving checkpoint epoch {epoch} "
           f"(norm stats: {sorted(norm_stats) if norm_stats else None})")
 
+    mesh = None
+    if args.data_parallel:
+        from avvad_tpu.parallel import make_mesh
+
+        mesh = make_mesh(n_data=args.data_parallel, n_model=1)
+        print(f"serving mesh: streams sharded over {args.data_parallel} "
+              "devices")
     streamer = make_streamer(model, state.variables(), n_streams=args.streams,
                              norm_stats=norm_stats,
-                             block_frames=args.block_frames)
+                             block_frames=args.block_frames, mesh=mesh)
     server = VADServer(streamer, host=args.host, port=args.port)
     print(f"listening on {server.address[0]}:{server.address[1]} "
           f"({args.modality}, {args.streams} stream slots, "

@@ -150,3 +150,72 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
+
+
+def test_multistream_serving_sharded_over_mesh_matches_single_device():
+    """Serving scales over chips by sharding streams on the `data` axis
+    (ticks are independent per stream — no collectives). Same feeds, same
+    carries, probabilities must match the unmeshed server; stream resets
+    must keep working on the sharded carries."""
+    import numpy as np
+
+    from avvad_tpu.models import AudioVAD, AVVAD
+    from avvad_tpu.serve import MultiStreamAVVAD, MultiStreamVAD
+
+    model = AudioVAD(y_dim=1, lstm_hidden_size=16, lstm_layers=2)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 513)))
+    rng = np.random.default_rng(5)
+    sigs = [np.clip(rng.normal(size=9000) * 0.3, -1, 1).astype(np.float32)
+            for _ in range(8)]
+    for s in sigs:
+        s[0] = 1.0  # pin the causal peak
+
+    mesh = make_mesh(n_data=8, n_model=1)
+
+    def run(mesh_arg):
+        ms = MultiStreamVAD(model, variables, n_streams=8, block_frames=8,
+                            max_backlog_blocks=256, mesh=mesh_arg)
+        outs = [[] for _ in range(8)]
+        for i, s in enumerate(sigs):
+            ms.feed(i, s)
+        ms.reset_stream(3)  # exercise .at[].set on (possibly) sharded carries
+        ms.feed(3, sigs[3])
+        for _ in range(6):
+            for i, p in ms.tick().items():
+                outs[i].append(p)
+        return [np.concatenate(o) if o else np.zeros(0) for o in outs]
+
+    ref = run(None)
+    got = run(mesh)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(g, r, atol=1e-6)
+
+    # AV variant: one sharded tick runs and matches unmeshed
+    av = AVVAD(y_dim=1, lstm_hidden_size=16, lstm_layers=2, use_mcb=True)
+    av_vars = av.init(jax.random.PRNGKey(1), jnp.zeros((1, 8, 513)),
+                      jnp.zeros((1, 8, 67, 67)))
+    vid = (rng.random((80, 67, 67)) * 255).astype(np.float32)
+
+    def run_av(mesh_arg):
+        ms = MultiStreamAVVAD(av, av_vars, n_streams=8, block_frames=8,
+                              max_backlog_blocks=256, mesh=mesh_arg)
+        outs = {}
+        for i, s in enumerate(sigs):
+            ms.feed(i, pcm=s, video_frames=vid)
+        for _ in range(3):
+            for i, p in ms.tick().items():
+                outs.setdefault(i, []).append(p)
+        return {i: np.concatenate(v) for i, v in outs.items()}
+
+    ref_av = run_av(None)
+    got_av = run_av(mesh)
+    assert set(got_av) == set(ref_av)
+    for i in ref_av:
+        np.testing.assert_allclose(got_av[i], ref_av[i], atol=1e-5)
+
+    # misconfigurations fail loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        MultiStreamVAD(model, variables, n_streams=6, block_frames=8,
+                       mesh=mesh)
