@@ -201,32 +201,47 @@ class VideoVAD(nn.Module):
     tower_chunk_unroll: bool = False  # unrolled chunks (see _VideoTower)
     dropout_rate: float = 0.0  # defined-but-disabled in the reference
 
-    @nn.compact
+    def setup(self):
+        # setup-style (attribute name == variable-tree key, identical to
+        # the previous nn.compact names) so streaming serving can drive
+        # tower + LSTM head with carried state, like AVVAD
+        self.tower = _VideoTower(dtype=self.dtype, remat=self.remat,
+                                 quant_int8=self.tower_int8,
+                                 quant_mode=self.tower_quant_mode,
+                                 stages_pallas=self.tower_pallas,
+                                 stem_int8=self.tower_stem_int8,
+                                 chunk=self.tower_chunk,
+                                 chunk_unroll=self.tower_chunk_unroll)
+        self.lstm_video = LSTMStack(self.lstm_hidden_size, self.lstm_layers,
+                                    dtype=self.dtype,
+                                    use_pallas=self.use_pallas_lstm)
+        self.dropout = nn.Dropout(self.dropout_rate)
+        self.vad_video = nn.Dense(self.y_dim)
+
     def __call__(self, video: jax.Array, lengths: Optional[jax.Array] = None,
                  train: bool = False, return_last: bool = False,
                  video_frame_indices: Optional[jax.Array] = None) -> jax.Array:
         """`video_frame_indices`: see AVVAD.__call__ — run the tower on
         unique source-rate frames and gather onto the label timeline."""
-        x = _VideoTower(dtype=self.dtype, remat=self.remat,
-                        quant_int8=self.tower_int8,
-                        quant_mode=self.tower_quant_mode,
-                        stages_pallas=self.tower_pallas,
-                        stem_int8=self.tower_stem_int8,
-                        chunk=self.tower_chunk,
-                        chunk_unroll=self.tower_chunk_unroll,
-                        name="tower")(video, train=train)
+        x = self.tower(video, train=train)
         if video_frame_indices is not None:
             x = jnp.take(x, video_frame_indices, axis=1)
-        x = LSTMStack(self.lstm_hidden_size, self.lstm_layers, dtype=self.dtype,
-                      use_pallas=self.use_pallas_lstm,
-                      name="lstm_video")(x)
+        x = self.lstm_video(x)
         if return_last:
             if lengths is None:
                 raise ValueError("return_last requires lengths")
             x = select_last(x, lengths)
-        x = nn.Dropout(self.dropout_rate, name="dropout")(
-            x, deterministic=not train or self.dropout_rate == 0.0)
-        return nn.Dense(self.y_dim, name="vad_video")(x)
+        x = self.dropout(x, deterministic=not train or self.dropout_rate == 0.0)
+        return self.vad_video(x)
+
+    def streaming_head(self, video: jax.Array, carries):
+        """One streaming block: raw lip frames (N, Tc, 67, 67) ->
+        (logits, new_carries). The tower is frame-local, so video-only
+        streaming state is just the LSTM carries."""
+        x = self.tower(video, train=False)
+        out, new_carries = self.lstm_video(x, carries=carries,
+                                           return_carries=True)
+        return self.vad_video(out), new_carries
 
 
 class AVVAD(nn.Module):

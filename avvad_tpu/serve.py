@@ -614,3 +614,195 @@ class MultiStreamAVVAD:
         if fetch:
             probs = np.asarray(probs)
         return {i: probs[i] for i in range(self.n) if active[i]}
+
+
+class StreamingVideoVAD:
+    """Stateful streaming video-only classifier around a VideoVAD
+    checkpoint: completes the serving matrix (audio / video / AV) for the
+    reference's three model families.
+
+    feed(video_frames) accepts label-rate-aligned (62.5 fps) lip frames
+    (T, 67, 67); a device step fires per `block_frames`. The tower is
+    frame-local, so the only carried state is the LSTM. For 30 fps camera
+    input, re-time frames with processing.video.fps_resample_indices
+    before feeding.
+    """
+
+    def __init__(self, model, variables: dict,
+                 norm_stats: Optional[dict] = None,
+                 block_frames: int = 16,
+                 video_uint8: bool = False):
+        self.model = model
+        self.variables = variables
+        self.block_frames = block_frames
+        self.video_uint8 = video_uint8
+        self._vdtype = np.uint8 if video_uint8 else np.float32
+        self._v_mean = _norm_stat(norm_stats, "video_mean")
+        self._v_std = _norm_stat(norm_stats, "video_std")
+        self._eps = STFTConfig().eps
+        self._step = self._build_step()
+        self.reset()
+
+    def reset(self) -> None:
+        self._vframes = np.zeros((0, 67, 67), dtype=self._vdtype)
+        h = self.model.lstm_hidden_size
+        self._carries = [(jnp.zeros((1, h)), jnp.zeros((1, h)))
+                         for _ in range(self.model.lstm_layers)]
+
+    def _build_step(self):
+        model = self.model
+        v_mean, v_std, eps = self._v_mean, self._v_std, self._eps
+
+        @jax.jit
+        def step(variables, video, carries):
+            v = video.astype(jnp.float32)[None]
+            if v_mean is not None:
+                v = (v - v_mean) / (v_std + eps)
+            logits, new_carries = model.apply(
+                variables, v, carries, method=model.streaming_head)
+            return jax.nn.sigmoid(logits[0, :, 0]), new_carries
+
+        return step
+
+    def feed(self, video_frames: np.ndarray) -> np.ndarray:
+        """Push lip frames; returns probs of completed blocks."""
+        if len(video_frames):
+            self._vframes = np.concatenate(
+                [self._vframes, _to_wire_video(video_frames, self._vdtype)])
+        outs = []
+        while len(self._vframes) >= self.block_frames:
+            vb = jnp.asarray(self._vframes[: self.block_frames])
+            self._vframes = self._vframes[self.block_frames:]
+            probs, self._carries = self._step(self.variables, vb,
+                                              self._carries)
+            outs.append(np.asarray(probs))
+        return np.concatenate(outs) if outs else np.zeros(0, dtype=np.float32)
+
+    def flush(self) -> np.ndarray:
+        n = len(self._vframes)
+        if n == 0:
+            return np.zeros(0, dtype=np.float32)
+        vb = np.concatenate([self._vframes,
+                             np.zeros((self.block_frames - n, 67, 67),
+                                      self._vdtype)])
+        self._vframes = self._vframes[:0]
+        probs, self._carries = self._step(self.variables, jnp.asarray(vb),
+                                          self._carries)
+        return np.asarray(probs)[:n]
+
+
+class MultiStreamVideoVAD:
+    """N concurrent video-only streams through one jitted tick (the
+    video twin of MultiStreamVAD; wire-compatible with the AV framed
+    protocol restricted to V/U messages). Masked carries keep batched
+    streams equal to solo StreamingVideoVAD runs."""
+
+    def __init__(self, model, variables: dict, n_streams: int,
+                 norm_stats: Optional[dict] = None,
+                 block_frames: int = 16,
+                 max_backlog_blocks: int = 32,
+                 video_uint8: bool = False,
+                 mesh=None):
+        self.model = model
+        # mesh: see MultiStreamVAD — streams shard over the `data` axis
+        self._stream_sharding, repl = _serving_shardings(mesh, n_streams)
+        if repl is not None:
+            variables = jax.device_put(variables, repl)
+        self.variables = variables
+        self.n = n_streams
+        self.block_frames = block_frames
+        self.max_backlog_blocks = max_backlog_blocks
+        self.video_uint8 = video_uint8
+        self._vdtype = np.uint8 if video_uint8 else np.float32
+        self._v_mean = _norm_stat(norm_stats, "video_mean")
+        self._v_std = _norm_stat(norm_stats, "video_std")
+        self._eps = STFTConfig().eps
+        self._vout = np.zeros((n_streams, block_frames, 67, 67), self._vdtype)
+        self._step = self._build_step()
+        self.reset()
+
+    def reset(self) -> None:
+        self._vbufs = [np.zeros((0, 67, 67), self._vdtype)
+                       for _ in range(self.n)]
+        h = self.model.lstm_hidden_size
+        sh = self._stream_sharding
+        self._carries = [(_put_streams(jnp.zeros((self.n, h)), sh),
+                          _put_streams(jnp.zeros((self.n, h)), sh))
+                         for _ in range(self.model.lstm_layers)]
+
+    def _build_step(self):
+        model = self.model
+        v_mean, v_std, eps = self._v_mean, self._v_std, self._eps
+
+        @jax.jit
+        def step(variables, video, active, carries):
+            v = video.astype(jnp.float32)
+            if v_mean is not None:
+                v = (v - v_mean) / (v_std + eps)
+            logits, new_carries = model.apply(
+                variables, v, carries, method=model.streaming_head)
+            a = active[:, None]
+            masked = [(a * hn + (1 - a) * ho, a * cn + (1 - a) * co)
+                      for (hn, cn), (ho, co) in zip(new_carries, carries)]
+            return jax.nn.sigmoid(logits[..., 0]), masked
+
+        return step
+
+    def warmup(self) -> None:
+        """Compile the tick step before serving traffic (see
+        MultiStreamVAD.warmup). State is untouched (active=0)."""
+        video = jnp.zeros((self.n, self.block_frames, 67, 67),
+                          dtype=self._vdtype)
+        probs, _ = self._step(self.variables, video, jnp.zeros(self.n),
+                              self._carries)
+        jax.block_until_ready(probs)
+
+    def feed(self, stream_idx: int, pcm: Optional[np.ndarray] = None,
+             video_frames: Optional[np.ndarray] = None) -> None:
+        """Buffer lip frames for one stream. PCM is rejected (the serving
+        front drops connections that send audio to a video-only server).
+        Backlog cap: post-feed bound, as in the other multi-stream
+        servers."""
+        if pcm is not None and len(pcm):
+            raise ValueError("video-only server: audio payload rejected")
+        if video_frames is None or not len(video_frames):
+            return
+        cap = self.max_backlog_blocks * self.block_frames
+        if len(self._vbufs[stream_idx]) + len(video_frames) > cap:
+            raise ValueError(
+                f"stream {stream_idx} video backlog exceeds "
+                f"{self.max_backlog_blocks} blocks")
+        self._vbufs[stream_idx] = np.concatenate(
+            [self._vbufs[stream_idx],
+             _to_wire_video(video_frames, self._vdtype)])
+
+    def has_full_block(self, stream_idx: int) -> bool:
+        return len(self._vbufs[stream_idx]) >= self.block_frames
+
+    def reset_stream(self, stream_idx: int) -> None:
+        """Recycle one stream slot (buffer + LSTM carries)."""
+        self._vbufs[stream_idx] = np.zeros((0, 67, 67), self._vdtype)
+        self._carries = [
+            (h.at[stream_idx].set(0.0), c.at[stream_idx].set(0.0))
+            for h, c in self._carries
+        ]
+
+    def tick(self, fetch: bool = True) -> dict:
+        """Advance every stream with a full video block; returns
+        {stream_idx: probs}. `fetch=False`: see MultiStreamVAD.tick."""
+        bf = self.block_frames
+        active = np.fromiter((1.0 if len(v) >= bf else 0.0
+                              for v in self._vbufs), np.float32, self.n)
+        if not active.any():
+            return {}
+        for i in range(self.n):
+            if active[i]:
+                self._vout[i] = self._vbufs[i][:bf]
+                self._vbufs[i] = self._vbufs[i][bf:]
+        sh = self._stream_sharding
+        probs, self._carries = self._step(
+            self.variables, _put_streams(self._vout, sh),
+            _put_streams(active, sh), self._carries)
+        if fetch:
+            probs = np.asarray(probs)
+        return {i: probs[i] for i in range(self.n) if active[i]}

@@ -42,7 +42,8 @@ from typing import Optional
 
 import numpy as np
 
-from .serve import MultiStreamAVVAD, MultiStreamVAD, _to_wire_video
+from .serve import (MultiStreamAVVAD, MultiStreamVAD, MultiStreamVideoVAD,
+                    _to_wire_video)
 
 _BYTES_PER_SAMPLE = 4
 _RECV_CHUNK = 1 << 16
@@ -52,13 +53,16 @@ _MAX_MSG_BYTES = 1 << 24  # 16 MB; a full 16-frame A/V block is ~290 KB
 
 
 class VADServer:
-    """Serve a MultiStreamVAD (raw-PCM protocol) or MultiStreamAVVAD
-    (framed A/V protocol) over TCP; one connection = one stream."""
+    """Serve a MultiStreamVAD (raw-PCM protocol), MultiStreamAVVAD
+    (framed A/V protocol) or MultiStreamVideoVAD (framed protocol, V/U
+    messages only — A payloads drop the connection) over TCP; one
+    connection = one stream."""
 
     def __init__(self, streamer, host: str = "127.0.0.1",
                  port: int = 0):
         self.streamer = streamer
-        self._av = isinstance(streamer, MultiStreamAVVAD)
+        self._av = isinstance(streamer,
+                              (MultiStreamAVVAD, MultiStreamVideoVAD))
         self._listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._listener.bind((host, port))
@@ -310,6 +314,45 @@ def av_stream_client(address, pcm: np.ndarray, video: np.ndarray,
                 part = vid[v_off:v_off + frames_per_msg]
                 s.sendall(av_frame(vtype, part.tobytes()))
                 v_off += len(part)
+            try:
+                s.settimeout(0.0)
+                part = s.recv(1 << 20)
+                if part:
+                    out += part
+            except (BlockingIOError, socket.timeout):
+                pass
+            finally:
+                s.settimeout(timeout)
+        while len(out) < want:
+            part = s.recv(1 << 20)
+            if not part:
+                break
+            out += part
+    return np.frombuffer(out[:want], dtype="<f4")
+
+
+def video_stream_client(address, video: np.ndarray, n_expected: int,
+                        frames_per_msg: int = 16,
+                        timeout: float = 30.0,
+                        video_wire: str = "f32") -> np.ndarray:
+    """Minimal video-only reference client: framed 67x67 lip-frame
+    messages (type V, or rounded uint8 type U with video_wire="u8"),
+    collect n_expected probs."""
+    if video_wire == "u8":
+        vtype = b"U"
+        vid = _to_wire_video(video, np.uint8).reshape(-1, 67, 67)
+    else:
+        vtype = b"V"
+        vid = np.asarray(video, dtype="<f4").reshape(-1, 67, 67)
+    with socket.create_connection(address, timeout=timeout) as s:
+        s.settimeout(timeout)
+        out = b""
+        want = n_expected * _BYTES_PER_SAMPLE
+        v_off = 0
+        while v_off < len(vid):
+            part = vid[v_off:v_off + frames_per_msg]
+            s.sendall(av_frame(vtype, part.tobytes()))
+            v_off += len(part)
             try:
                 s.settimeout(0.0)
                 part = s.recv(1 << 20)

@@ -4,9 +4,10 @@
 Serves a trained checkpoint over TCP, one connection per stream. Audio
 mode (AudioVAD): raw float32 LE PCM in. Audio-visual mode (AVVAD,
 --modality av): framed messages ([type][u32 len][payload], A = PCM,
-V = 67x67 lip frames) interleaved per connection. Both emit raw float32
-LE per-frame speech probabilities (see avvad_tpu.server for the wire
-protocol). A serving capability the reference lacks entirely (its
+V = 67x67 float32 lip frames, U = uint8 lip frames) interleaved per
+connection. Video-only mode (VideoVAD, --modality video): the framed
+protocol restricted to V/U messages. All emit raw float32 LE per-frame
+speech probabilities (see avvad_tpu.server for the wire protocol). A serving capability the reference lacks entirely (its
 closest analogue is the batch prediction writer,
 evaluate_audio_net.py:107-180).
 
@@ -26,7 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--modality", choices=["audio", "av"], default="audio")
+    p.add_argument("--modality", choices=["audio", "video", "av"],
+                   default="audio")
     p.add_argument("--checkpoint", required=True,
                    help="AudioVAD/AVVAD checkpoint (model dir or epoch dir)")
     p.add_argument("--host", default="127.0.0.1")
@@ -63,6 +65,14 @@ def main():
                          lstm_layers=args.lstm_layers)
         example = (jnp.zeros((1, 8, 513)),)
         make_streamer = MultiStreamVAD
+    elif args.modality == "video":
+        from avvad_tpu.models import VideoVAD
+        from avvad_tpu.serve import MultiStreamVideoVAD
+
+        model = VideoVAD(y_dim=args.y_dim, lstm_hidden_size=args.lstm_hidden,
+                         lstm_layers=args.lstm_layers)
+        example = (jnp.zeros((1, 8, 67, 67)),)
+        make_streamer = MultiStreamVideoVAD
     else:
         from avvad_tpu.models import AVVAD
         from avvad_tpu.serve import MultiStreamAVVAD

@@ -293,18 +293,20 @@ def test_gray_stem_exact_vs_rgb_repeat():
     from avvad_tpu.models.vad_nets import _VideoTower
     import flax.linen as nn
 
-    class VideoVADRGB(VideoVAD):
+    class VideoVADRGB(nn.Module):
+        # standalone module (not a VideoVAD subclass: VideoVAD is
+        # setup-style, so an nn.compact override would double-create
+        # "tower") with the same variable-tree names
         @nn.compact
-        def __call__(self, video, lengths=None, train=False,
-                     return_last=False):
-            xx = _VideoTower(dtype=self.dtype, gray_stem=False,
+        def __call__(self, video, train=False):
+            xx = _VideoTower(dtype=jnp.float32, gray_stem=False,
                              name="tower")(video, train=train)
             from avvad_tpu.models.lstm import LSTMStack
-            xx = LSTMStack(self.lstm_hidden_size, self.lstm_layers,
-                           dtype=self.dtype, name="lstm_video")(xx)
-            return nn.Dense(self.y_dim, name="vad_video")(xx)
+            xx = LSTMStack(8, 1, dtype=jnp.float32,
+                           name="lstm_video")(xx)
+            return nn.Dense(1, name="vad_video")(xx)
 
-    y_rgb = VideoVADRGB(y_dim=1, lstm_hidden_size=8, lstm_layers=1).apply(v, x)
+    y_rgb = VideoVADRGB().apply(v, x)
     np.testing.assert_allclose(np.asarray(y_gray), np.asarray(y_rgb),
                                atol=1e-5)
 

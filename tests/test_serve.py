@@ -288,3 +288,72 @@ def test_multistream_av_reset_stream():
     h_after = np.asarray(ms._carries[0][0])
     assert np.abs(h_after[1]).max() == 0        # recycled slot zeroed
     np.testing.assert_array_equal(h_after[0], h_before[0])  # other intact
+
+
+def test_streaming_video_matches_offline():
+    """Video-only streaming must equal the offline VideoVAD forward of
+    the same frames (the tower is frame-local; only the LSTM carries
+    cross blocks), including a non-block-aligned tail via flush()."""
+    from avvad_tpu.models import VideoVAD
+    from avvad_tpu.serve import StreamingVideoVAD
+
+    model = VideoVAD(y_dim=1, lstm_hidden_size=16, lstm_layers=2)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 67, 67)))
+    rng = np.random.default_rng(2)
+    video = (rng.random((37, 67, 67)) * 255).astype(np.float32)
+
+    offline = np.asarray(jax.nn.sigmoid(
+        model.apply(variables, jnp.asarray(video)[None])[0, :, 0]))
+
+    sv = StreamingVideoVAD(model, variables, block_frames=8)
+    got = [sv.feed(video[:5]), sv.feed(video[5:20]), sv.feed(video[20:]),
+           sv.flush()]
+    got = np.concatenate(got)
+    assert got.shape == offline.shape
+    np.testing.assert_allclose(got, offline, atol=1e-5)
+
+    # uint8 wire parity: integer-valued frames are bit-identical
+    vu = np.round(video)
+    sv8 = StreamingVideoVAD(model, variables, block_frames=8,
+                            video_uint8=True)
+    got8 = np.concatenate([sv8.feed(vu), sv8.flush()])
+    ref = StreamingVideoVAD(model, variables, block_frames=8)
+    ref8 = np.concatenate([ref.feed(vu), ref.flush()])
+    np.testing.assert_allclose(got8, ref8, atol=1e-6)
+
+
+def test_multistream_video_matches_solo_streams():
+    """N batched video streams (masked carries) == N solo runs, with
+    ragged per-stream progress."""
+    from avvad_tpu.models import VideoVAD
+    from avvad_tpu.serve import MultiStreamVideoVAD, StreamingVideoVAD
+
+    model = VideoVAD(y_dim=1, lstm_hidden_size=16, lstm_layers=2)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 67, 67)))
+    rng = np.random.default_rng(3)
+    vids = [(rng.random((n, 67, 67)) * 255).astype(np.float32)
+            for n in (40, 24, 33)]
+
+    solo = []
+    for v in vids:
+        sv = StreamingVideoVAD(model, variables, block_frames=8)
+        solo.append(np.concatenate([sv.feed(v), sv.flush()]))
+
+    ms = MultiStreamVideoVAD(model, variables, n_streams=3, block_frames=8,
+                             max_backlog_blocks=256)
+    for i, v in enumerate(vids):
+        ms.feed(i, video_frames=v)
+    outs = [[] for _ in range(3)]
+    for _ in range(6):
+        for i, p in ms.tick().items():
+            outs[i].append(p)
+    for i, v in enumerate(vids):
+        n = (len(v) // 8) * 8  # multi-stream emits full blocks only
+        got = np.concatenate(outs[i]) if outs[i] else np.zeros(0)
+        np.testing.assert_allclose(got[:n], solo[i][:n], atol=1e-5)
+
+    # audio payloads are rejected (the serving front drops such clients)
+    import pytest
+
+    with pytest.raises(ValueError, match="audio payload"):
+        ms.feed(0, pcm=np.zeros(100, np.float32))

@@ -428,3 +428,51 @@ def test_av_server_survives_arbitrary_fragmentation():
         server.stop()
         t.join(timeout=10)
         server.close()
+
+
+def test_video_server_round_trip_matches_solo_stream():
+    """Video-only TCP mode: framed V/U messages in, probabilities out,
+    equal to a solo StreamingVideoVAD; A payloads drop the connection."""
+    import socket as socket_mod
+
+    from avvad_tpu.models import VideoVAD
+    from avvad_tpu.serve import MultiStreamVideoVAD, StreamingVideoVAD
+    from avvad_tpu.server import av_frame, video_stream_client
+
+    model = VideoVAD(y_dim=1, lstm_hidden_size=16, lstm_layers=2)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 67, 67)))
+    bf = 8
+    ms = MultiStreamVideoVAD(model, variables, n_streams=2, block_frames=bf)
+    server = VADServer(ms)
+    t = threading.Thread(target=server.serve_forever,
+                        kwargs={"timeout": 0.002, "warmup": False},
+                        daemon=True)
+    t.start()
+    try:
+        rng = np.random.default_rng(9)
+        video = (rng.random((40, 67, 67)) * 255).astype(np.float32)
+        n_out = (len(video) // bf) * bf
+
+        got = video_stream_client(server.address, video, n_out)
+        got_u8 = video_stream_client(server.address, np.round(video), n_out,
+                                     video_wire="u8")
+
+        sv = StreamingVideoVAD(model, variables, block_frames=bf)
+        ref = np.concatenate([sv.feed(video), sv.flush()])[:n_out]
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+        sv8 = StreamingVideoVAD(model, variables, block_frames=bf)
+        ref8 = np.concatenate([sv8.feed(np.round(video)), sv8.flush()])[:n_out]
+        np.testing.assert_allclose(got_u8, ref8, atol=1e-5)
+
+        # an audio message drops the connection and recycles the slot
+        with socket_mod.create_connection(server.address, timeout=5) as s:
+            s.sendall(av_frame(b"A", np.zeros(64, "<f4").tobytes()))
+            import time as time_mod
+            deadline = time_mod.time() + 5
+            while len(server._free) != 2 and time_mod.time() < deadline:
+                time_mod.sleep(0.01)
+        assert len(server._free) == 2
+    finally:
+        server.stop()
+        t.join(timeout=10)
+        server.close()
