@@ -53,6 +53,9 @@ class LSTMCellFused(nn.Module):
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
     return_carry: bool = False
+    # inference-only quantized recurrence state for the Pallas backend:
+    # "none" | "bf16" | "int8" (see ops.lstm_pallas.lstm_layer_fused)
+    state_quant: str = "none"
 
     @nn.compact
     def __call__(self, x: jax.Array, h0: Optional[tuple] = None):
@@ -72,7 +75,9 @@ class LSTMCellFused(nn.Module):
             interpret = jax.devices()[0].platform == "cpu"
             return lstm_layer_fused(x_proj.astype(jnp.float32),
                                     w_hh.astype(jnp.float32),
-                                    interpret=interpret).astype(self.dtype)
+                                    interpret=interpret,
+                                    state_quant=self.state_quant
+                                    ).astype(self.dtype)
 
         if h0 is None:
             c0 = jnp.zeros((b, h), dtype=self.dtype)
@@ -108,6 +113,7 @@ class LSTMStack(nn.Module):
     num_layers: int = 2
     dtype: jnp.dtype = jnp.float32
     use_pallas: bool = False
+    state_quant: str = "none"  # Pallas backend only; see LSTMCellFused
 
     @nn.compact
     def __call__(self, x: jax.Array, carries: Optional[list] = None,
@@ -120,6 +126,7 @@ class LSTMStack(nn.Module):
         for layer in range(self.num_layers):
             cell = LSTMCellFused(self.hidden_size, dtype=self.dtype,
                                  use_pallas=self.use_pallas,
+                                 state_quant=self.state_quant,
                                  return_carry=return_carries,
                                  name=f"layer_{layer}")
             h0 = carries[layer] if carries is not None else None

@@ -41,11 +41,13 @@ class AudioVAD(nn.Module):
     lstm_layers: int = 2
     dtype: jnp.dtype = jnp.float32
     use_pallas_lstm: bool = False
+    lstm_state_quant: str = "none"  # Pallas inference: none | bf16 | int8
     dropout_rate: float = 0.0  # the reference defines Dropout(0.5) but
     # never enables it (Audio_Net.py:36,58); here it is a working option
 
     def setup(self):
         self.lstm_audio = LSTMStack(self.lstm_hidden_size, self.lstm_layers,
+                                    state_quant=self.lstm_state_quant,
                                     dtype=self.dtype,
                                     use_pallas=self.use_pallas_lstm)
         self.dropout = nn.Dropout(self.dropout_rate)
@@ -193,6 +195,7 @@ class VideoVAD(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     use_pallas_lstm: bool = False
+    lstm_state_quant: str = "none"  # Pallas inference: none | bf16 | int8
     tower_int8: bool = False  # W8A8 trunk convs (inference only)
     tower_quant_mode: str = "dynamic"  # dynamic | calibrate | static
     tower_pallas: bool = False  # fused Pallas block kernels (static int8)
@@ -213,6 +216,7 @@ class VideoVAD(nn.Module):
                                  chunk=self.tower_chunk,
                                  chunk_unroll=self.tower_chunk_unroll)
         self.lstm_video = LSTMStack(self.lstm_hidden_size, self.lstm_layers,
+                                    state_quant=self.lstm_state_quant,
                                     dtype=self.dtype,
                                     use_pallas=self.use_pallas_lstm)
         self.dropout = nn.Dropout(self.dropout_rate)
@@ -259,6 +263,7 @@ class AVVAD(nn.Module):
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
     use_pallas_lstm: bool = False
+    lstm_state_quant: str = "none"  # Pallas inference: none | bf16 | int8
     tower_int8: bool = False  # W8A8 trunk convs (inference only)
     tower_quant_mode: str = "dynamic"  # dynamic | calibrate | static
     tower_pallas: bool = False  # fused Pallas block kernels (static int8)
@@ -291,6 +296,7 @@ class AVVAD(nn.Module):
             self.mcb_bn = nn.BatchNorm(momentum=0.9, epsilon=self.eps,
                                        axis=-1, use_fast_variance=False)
         self.lstm_merged = LSTMStack(self.lstm_hidden_size, self.lstm_layers,
+                                     state_quant=self.lstm_state_quant,
                                      dtype=self.dtype,
                                      use_pallas=self.use_pallas_lstm)
         self.dropout = nn.Dropout(self.dropout_rate)

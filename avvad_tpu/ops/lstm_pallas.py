@@ -68,6 +68,51 @@ def _lstm_kernel(xp_ref, w_ref, h0_ref, c0_ref, y_ref, h_scr, c_scr):
     y_ref[0] = h
 
 
+def _lstm_kernel_hbf16(xp_ref, w_ref, h0_ref, c0_ref, y_ref, h_scr, c_scr):
+    """Inference variant: the hidden state enters the recurrent matmul as
+    bfloat16 (both MXU operands bf16; the gate epilogue and the cell state
+    stay fp32). h in (-1, 1) makes the bf16 relative error ~0.4%."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:]
+        c_scr[:] = c0_ref[:]
+
+    gates = xp_ref[0] + jnp.dot(
+        h_scr[:].astype(jnp.bfloat16), w_ref[:],
+        preferred_element_type=jnp.float32,
+    )
+    _, _, _, _, c, h = _gate_math(gates, c_scr[:])
+    c_scr[:] = c
+    h_scr[:] = h
+    y_ref[0] = h
+
+
+def _lstm_kernel_int8(xp_ref, wq_ref, ws_ref, h0_ref, c0_ref, y_ref,
+                      h_scr, c_scr):
+    """W8A8 recurrence: h = o*tanh(c) is bounded to (-1, 1) by
+    construction, so the hidden state quantizes with the FIXED scale 127
+    (no calibration needed); W_hh is symmetric per-output-column int8.
+    The int8 x int8 -> int32 matmul runs at 2x the bf16 MXU rate; gate
+    math and the cell state stay fp32. ws = w_scale / 127 folds both
+    dequants into one epilogue multiply."""
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        h_scr[:] = h0_ref[:]
+        c_scr[:] = c0_ref[:]
+
+    qh = jnp.round(h_scr[:] * 127.0).astype(jnp.int8)
+    acc = jnp.dot(qh, wq_ref[:], preferred_element_type=jnp.int32)
+    gates = xp_ref[0] + acc.astype(jnp.float32) * ws_ref[:]
+    _, _, _, _, c, h = _gate_math(gates, c_scr[:])
+    c_scr[:] = c
+    h_scr[:] = h
+    y_ref[0] = h
+
+
 def _lstm_fwd_train_kernel(xp_ref, w_ref, h0_ref, c0_ref,
                            y_ref, c_ref, g_ref, h_scr, c_scr):
     """Forward that also streams residuals: cell states and the
@@ -160,6 +205,51 @@ def _fwd_infer_call(xp, w_hh, h0, c0, interpret, w_dtype):
         ],
         interpret=interpret,
     )(xp, w_hh.astype(w_dtype), h0, c0)
+
+
+def _fwd_quant_call(xp, w_hh, h0, c0, interpret, state_quant):
+    """Inference-only quantized-state recurrence (no custom_vjp): state
+    'bf16' casts h for the dot; 'int8' runs W8A8 with fixed h scale."""
+    t, b, h4 = xp.shape
+    h = h4 // 4
+    vm = pltpu.VMEM
+    if state_quant == "int8":
+        from .qparams import weight_qparams
+
+        wq, w_scale = weight_qparams(w_hh)  # (H, 4H) int8, (4H,) fp32
+        ws = (w_scale / 127.0).reshape(1, h4).astype(jnp.float32)
+        return pl.pallas_call(
+            _lstm_kernel_int8,
+            grid=(t,),
+            in_specs=[
+                pl.BlockSpec((1, b, h4), lambda i: (i, 0, 0),
+                             memory_space=vm),
+                pl.BlockSpec((h, h4), lambda i: (0, 0), memory_space=vm),
+                pl.BlockSpec((1, h4), lambda i: (0, 0), memory_space=vm),
+                pl.BlockSpec((b, h), lambda i: (0, 0), memory_space=vm),
+                pl.BlockSpec((b, h), lambda i: (0, 0), memory_space=vm),
+            ],
+            out_specs=pl.BlockSpec((1, b, h), lambda i: (i, 0, 0),
+                                   memory_space=vm),
+            out_shape=jax.ShapeDtypeStruct((t, b, h), jnp.float32),
+            scratch_shapes=[vm((b, h), jnp.float32), vm((b, h), jnp.float32)],
+            interpret=interpret,
+        )(xp, wq, ws, h0, c0)
+    return pl.pallas_call(
+        _lstm_kernel_hbf16,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((1, b, h4), lambda i: (i, 0, 0), memory_space=vm),
+            pl.BlockSpec((h, h4), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((b, h), lambda i: (0, 0), memory_space=vm),
+            pl.BlockSpec((b, h), lambda i: (0, 0), memory_space=vm),
+        ],
+        out_specs=pl.BlockSpec((1, b, h), lambda i: (i, 0, 0),
+                               memory_space=vm),
+        out_shape=jax.ShapeDtypeStruct((t, b, h), jnp.float32),
+        scratch_shapes=[vm((b, h), jnp.float32), vm((b, h), jnp.float32)],
+        interpret=interpret,
+    )(xp, w_hh.astype(jnp.bfloat16), h0, c0)
 
 
 def _fwd_train_call(xp, w_hh, h0, c0, interpret, w_dtype):
@@ -268,12 +358,14 @@ def _make_lstm_vjp(interpret: bool, w_dtype_name: str):
     return f
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "w_dtype"))
+@functools.partial(jax.jit, static_argnames=("interpret", "w_dtype",
+                                              "state_quant"))
 def lstm_layer_fused(x_proj: jax.Array, w_hh: jax.Array,
                      h0: jax.Array | None = None,
                      c0: jax.Array | None = None,
                      interpret: bool = False,
-                     w_dtype: jnp.dtype = jnp.bfloat16) -> jax.Array:
+                     w_dtype: jnp.dtype = jnp.bfloat16,
+                     state_quant: str = "none") -> jax.Array:
     """Run one LSTM layer over precomputed input projections.
 
     x_proj: (B, T, 4H) = x @ W_ih + b; w_hh: (H, 4H), held in `w_dtype`
@@ -281,7 +373,15 @@ def lstm_layer_fused(x_proj: jax.Array, w_hh: jax.Array,
     next to the stream buffers).
     Returns hidden states (B, T, H) float32. Differentiable wrt x_proj,
     w_hh, h0, c0 (custom_vjp; backward is also weight-stationary).
+
+    state_quant (inference-only, NOT differentiable):
+    - "bf16": the hidden state enters the recurrent dot as bfloat16;
+    - "int8": W8A8 recurrence — h is (-1, 1)-bounded so it quantizes
+      with the fixed scale 127, W_hh per-output-column int8; the matmul
+      runs at 2x the bf16 MXU rate (checkpoint stays float).
     """
+    if state_quant not in ("none", "bf16", "int8"):
+        raise ValueError(f"state_quant {state_quant!r}")
     b, t, h4 = x_proj.shape
     h = h4 // 4
     if h0 is None:
@@ -289,8 +389,9 @@ def lstm_layer_fused(x_proj: jax.Array, w_hh: jax.Array,
     if c0 is None:
         c0 = jnp.zeros((b, h), dtype=jnp.float32)
 
-    # pad batch to the f32 sublane tile (8)
-    b_pad = _round_up(max(b, 8), 8)
+    # pad batch to the sublane tile (8 for f32 operands; the int8 dot
+    # operand wants 32)
+    b_pad = _round_up(max(b, 8), 32 if state_quant == "int8" else 8)
     if b_pad != b:
         pad = [(0, b_pad - b), (0, 0)]
         x_proj = jnp.pad(x_proj, [(0, b_pad - b), (0, 0), (0, 0)])
@@ -298,7 +399,10 @@ def lstm_layer_fused(x_proj: jax.Array, w_hh: jax.Array,
         c0 = jnp.pad(c0, pad)
 
     xp = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 4H): contiguous per-step blocks
-    fn = _make_lstm_vjp(bool(interpret), jnp.dtype(w_dtype).name)
-    y = fn(xp, w_hh, h0, c0)
+    if state_quant != "none":
+        y = _fwd_quant_call(xp, w_hh, h0, c0, bool(interpret), state_quant)
+    else:
+        fn = _make_lstm_vjp(bool(interpret), jnp.dtype(w_dtype).name)
+        y = fn(xp, w_hh, h0, c0)
     y = jnp.swapaxes(y, 0, 1)
     return y[:b]

@@ -95,8 +95,14 @@ def main():
 
     # bf16 towers (+12% vs f32, probabilities agree to <1e-4); the DFT
     # frontend stays fp32-pinned internally.
+    # AVVAD_BENCH_LSTM_QUANT: quantize the Pallas LSTM recurrence state
+    # ("bf16" or "int8"; inference-only — ops/lstm_pallas.py). int8 runs
+    # the recurrent matmul W8A8 at 2x the bf16 MXU rate with the hidden
+    # state on its natural fixed scale (h is (-1,1)-bounded).
+    lstm_quant = os.environ.get("AVVAD_BENCH_LSTM_QUANT", "none")
     model = AVVAD(y_dim=1, lstm_hidden_size=1024, lstm_layers=2, use_mcb=True,
-                  use_pallas_lstm=True, dtype=jnp.bfloat16,
+                  use_pallas_lstm=True, lstm_state_quant=lstm_quant,
+                  dtype=jnp.bfloat16,
                   tower_int8=int8_mode > 0,
                   tower_quant_mode="static" if int8_mode == 2 else "dynamic",
                   tower_pallas=pallas_tower,

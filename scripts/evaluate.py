@@ -68,6 +68,11 @@ def parse_args():
     p.add_argument("--calibrate-utts", type=int, default=8)
     p.add_argument("--pallas-lstm", action="store_true",
                    help="use the weight-stationary Pallas LSTM kernel")
+    p.add_argument("--lstm-state-quant", choices=["none", "bf16", "int8"],
+                   default="none",
+                   help="quantize the Pallas LSTM's recurrence state "
+                        "(inference-only; requires --pallas-lstm; int8 = "
+                        "W8A8 recurrent matmul at 2x the bf16 MXU rate)")
     p.add_argument("--tower-pallas", action="store_true",
                    help="fused Pallas int8 block kernels for the trunk "
                         "(requires --tower-int8 --tower-quant-mode static; "
@@ -82,6 +87,8 @@ def parse_args():
     # quantized/Pallas — reject the misconfiguration loudly instead
     if args.tower_stem_int8 and not args.tower_int8:
         p.error("--tower-stem-int8 requires --tower-int8")
+    if args.lstm_state_quant != "none" and not args.pallas_lstm:
+        p.error("--lstm-state-quant requires --pallas-lstm")
     if args.tower_pallas and not (args.tower_int8
                                   and args.tower_quant_mode == "static"):
         p.error("--tower-pallas requires --tower-int8 "
@@ -108,7 +115,8 @@ def main():
         source = make_source(args.split)
         model = AudioVAD(y_dim=y_dim, lstm_hidden_size=args.lstm_hidden,
                          lstm_layers=args.lstm_layers,
-                         use_pallas_lstm=args.pallas_lstm)
+                         use_pallas_lstm=args.pallas_lstm,
+                         lstm_state_quant=args.lstm_state_quant)
         example = (jnp.zeros((1, 8, 513)),)
     elif args.modality == "video":
         def make_source(split):
@@ -118,6 +126,7 @@ def main():
         model = VideoVAD(y_dim=y_dim, lstm_hidden_size=args.lstm_hidden,
                          lstm_layers=args.lstm_layers,
                          use_pallas_lstm=args.pallas_lstm,
+                         lstm_state_quant=args.lstm_state_quant,
                          tower_int8=args.tower_int8,
                          tower_quant_mode=args.tower_quant_mode,
                          tower_pallas=args.tower_pallas,
@@ -134,6 +143,7 @@ def main():
         model = AVVAD(y_dim=y_dim, lstm_hidden_size=args.lstm_hidden,
                       lstm_layers=args.lstm_layers, use_mcb=args.mcb,
                       use_pallas_lstm=args.pallas_lstm,
+                      lstm_state_quant=args.lstm_state_quant,
                       tower_int8=args.tower_int8,
                       tower_quant_mode=args.tower_quant_mode,
                       tower_pallas=args.tower_pallas,

@@ -151,3 +151,59 @@ def test_pallas_lstm_grad_nonzero_h0_c0():
     for a, b_, name in zip(gp, gs, ["dx_proj", "dw_hh", "dh0", "dc0"]):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5,
                                    err_msg=name)
+
+
+def test_quantized_state_recurrence_close_to_fp32():
+    """Inference-only quantized-state variants: bf16 hidden state tracks
+    fp32 within bf16 noise; the W8A8 recurrence (fixed h scale 127 —
+    valid because h = o*tanh(c) is (-1,1)-bounded) stays within int8
+    noise over a long recurrence. Also pins that oversize batches pad to
+    the int8 sublane tile."""
+    import numpy as np
+
+    from avvad_tpu.ops.lstm_pallas import lstm_layer_fused
+
+    rng = np.random.default_rng(0)
+    b, t, h = 3, 64, 32
+    xp = jnp.asarray(rng.normal(size=(b, t, 4 * h)).astype(np.float32) * 0.5)
+    w = jnp.asarray(rng.normal(size=(h, 4 * h)).astype(np.float32)
+                    / np.sqrt(h))
+
+    y = lstm_layer_fused(xp, w, interpret=True)
+    assert np.isfinite(np.asarray(y)).all()
+    y16 = lstm_layer_fused(xp, w, interpret=True, state_quant="bf16")
+    y8 = lstm_layer_fused(xp, w, interpret=True, state_quant="int8")
+    d16 = float(jnp.abs(y16 - y).max())
+    d8 = float(jnp.abs(y8 - y).max())
+    # |h| <= 1: absolute tolerances. bf16 ~0.4% rel; int8 h-resolution is
+    # 1/127 per step — error stays bounded (no blow-up over 64 steps)
+    assert d16 < 0.02, d16
+    assert d8 < 0.08, d8
+    # hard-decision stability on a trained-like head would be gated on
+    # hardware; here pin the correlation so regressions are loud
+    c8 = np.corrcoef(np.asarray(y8).ravel(), np.asarray(y).ravel())[0, 1]
+    assert c8 > 0.999, c8
+
+    with np.testing.assert_raises(ValueError):
+        lstm_layer_fused(xp, w, interpret=True, state_quant="fp8")
+
+
+def test_quantized_state_through_model_head():
+    """lstm_state_quant plumbs through AudioVAD: logits close to the
+    default Pallas path on CPU interpret."""
+    import numpy as np
+
+    from avvad_tpu.models import AudioVAD
+
+    xb = jnp.asarray(np.random.default_rng(1)
+                     .normal(size=(2, 32, 513)).astype(np.float32))
+    base = AudioVAD(y_dim=1, lstm_hidden_size=16, lstm_layers=2,
+                    use_pallas_lstm=True)
+    variables = base.init(jax.random.PRNGKey(0), xb)
+    y0 = base.apply(variables, xb)
+    for q, tol in (("bf16", 0.05), ("int8", 0.2)):
+        m = AudioVAD(y_dim=1, lstm_hidden_size=16, lstm_layers=2,
+                     use_pallas_lstm=True, lstm_state_quant=q)
+        yq = m.apply(variables, xb)
+        d = float(jnp.abs(yq - y0).max())
+        assert d < tol, (q, d)
