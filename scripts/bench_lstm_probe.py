@@ -138,6 +138,16 @@ def main():
             d = float(jnp.abs(fn(xp, w, h0, c0) - base).max())
             print(f"             h_bf16 max|dh| vs full: {d:.3e}")
 
+    # shipped API: default vs quantized-state variants (B,T layout)
+    from avvad_tpu.ops.lstm_pallas import lstm_layer_fused
+
+    xp_bt = jnp.swapaxes(xp, 0, 1)
+    for sq in ("none", "bf16", "int8"):
+        fn = functools.partial(lstm_layer_fused, state_quant=sq)
+        ms = _timeit(fn, (xp_bt, w), args.iters)
+        eff = flops / (ms * 1e-3) / 1e12
+        print(f"lstm_layer_fused[{sq:4s}] {ms:7.2f} ms  {eff:6.1f} TF/s")
+
     # frontend: direct vs hop-block DFT at the serving shape
     from avvad_tpu.ops.stft import log_power_frontend
 
