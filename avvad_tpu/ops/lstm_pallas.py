@@ -207,9 +207,33 @@ def _fwd_infer_call(xp, w_hh, h0, c0, interpret, w_dtype):
     )(xp, w_hh.astype(w_dtype), h0, c0)
 
 
+@functools.lru_cache(maxsize=8)
+def _make_quant_infer(interpret: bool, state_quant: str):
+    """Wrap the quantized-state recurrence so differentiation fails with
+    a CLEAR message instead of an opaque Pallas autodiff error (the
+    custom_vjp's fwd rule only runs under differentiation)."""
+
+    @jax.custom_vjp
+    def f(xp, w_hh, h0, c0):
+        return _fwd_quant_call(xp, w_hh, h0, c0, interpret, state_quant)
+
+    def fwd(xp, w_hh, h0, c0):
+        raise NotImplementedError(
+            f"lstm state_quant={state_quant!r} is inference-only; unset "
+            "state_quant (or use the default Pallas kernel) for training")
+
+    def bwd(res, dy):  # pragma: no cover - fwd always raises first
+        raise NotImplementedError
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 def _fwd_quant_call(xp, w_hh, h0, c0, interpret, state_quant):
-    """Inference-only quantized-state recurrence (no custom_vjp): state
-    'bf16' casts h for the dot; 'int8' runs W8A8 with fixed h scale."""
+    """Inference-only quantized-state recurrence (no backward kernel):
+    state 'bf16' casts h for the dot; 'int8' runs W8A8 with fixed h
+    scale. Reach it through _make_quant_infer for a clear
+    inference-only error under differentiation."""
     t, b, h4 = xp.shape
     h = h4 // 4
     vm = pltpu.VMEM
@@ -400,7 +424,7 @@ def lstm_layer_fused(x_proj: jax.Array, w_hh: jax.Array,
 
     xp = jnp.swapaxes(x_proj, 0, 1)  # (T, B, 4H): contiguous per-step blocks
     if state_quant != "none":
-        y = _fwd_quant_call(xp, w_hh, h0, c0, bool(interpret), state_quant)
+        y = _make_quant_infer(bool(interpret), state_quant)(xp, w_hh, h0, c0)
     else:
         fn = _make_lstm_vjp(bool(interpret), jnp.dtype(w_dtype).name)
         y = fn(xp, w_hh, h0, c0)

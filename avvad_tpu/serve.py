@@ -277,9 +277,13 @@ class MultiStreamVAD:
         its first tick and back-pressure clients). State is untouched:
         the step runs on zero inputs with active=0, so every stream's
         carries are mask-restored."""
-        frames = jnp.zeros((self.n, self.block_frames, self._nfft))
-        probs, _ = self._step(self.variables, frames, jnp.ones(self.n),
-                              jnp.zeros(self.n), self._carries)
+        sh = self._stream_sharding
+        frames = _put_streams(
+            jnp.zeros((self.n, self.block_frames, self._nfft)), sh)
+        probs, _ = self._step(self.variables, frames,
+                              _put_streams(jnp.ones(self.n), sh),
+                              _put_streams(jnp.zeros(self.n), sh),
+                              self._carries)
         jax.block_until_ready(probs)
 
     def feed(self, stream_idx: int, pcm: np.ndarray) -> None:
@@ -540,11 +544,14 @@ class MultiStreamAVVAD:
     def warmup(self) -> None:
         """Compile the tick step before serving traffic (see
         MultiStreamVAD.warmup). State is untouched (active=0)."""
-        frames = jnp.zeros((self.n, self.block_frames, self._nfft))
-        video = jnp.zeros((self.n, self.block_frames, 67, 67),
-                          dtype=self._vdtype)
+        sh = self._stream_sharding
+        frames = _put_streams(
+            jnp.zeros((self.n, self.block_frames, self._nfft)), sh)
+        video = _put_streams(jnp.zeros(
+            (self.n, self.block_frames, 67, 67), dtype=self._vdtype), sh)
         probs, _ = self._step(self.variables, frames, video,
-                              jnp.ones(self.n), jnp.zeros(self.n),
+                              _put_streams(jnp.ones(self.n), sh),
+                              _put_streams(jnp.zeros(self.n), sh),
                               self._carries)
         jax.block_until_ready(probs)
 
@@ -751,9 +758,11 @@ class MultiStreamVideoVAD:
     def warmup(self) -> None:
         """Compile the tick step before serving traffic (see
         MultiStreamVAD.warmup). State is untouched (active=0)."""
-        video = jnp.zeros((self.n, self.block_frames, 67, 67),
-                          dtype=self._vdtype)
-        probs, _ = self._step(self.variables, video, jnp.zeros(self.n),
+        sh = self._stream_sharding
+        video = _put_streams(jnp.zeros(
+            (self.n, self.block_frames, 67, 67), dtype=self._vdtype), sh)
+        probs, _ = self._step(self.variables, video,
+                              _put_streams(jnp.zeros(self.n), sh),
                               self._carries)
         jax.block_until_ready(probs)
 

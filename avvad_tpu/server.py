@@ -337,37 +337,11 @@ def video_stream_client(address, video: np.ndarray, n_expected: int,
                         video_wire: str = "f32") -> np.ndarray:
     """Minimal video-only reference client: framed 67x67 lip-frame
     messages (type V, or rounded uint8 type U with video_wire="u8"),
-    collect n_expected probs."""
-    if video_wire == "u8":
-        vtype = b"U"
-        vid = _to_wire_video(video, np.uint8).reshape(-1, 67, 67)
-    else:
-        vtype = b"V"
-        vid = np.asarray(video, dtype="<f4").reshape(-1, 67, 67)
-    with socket.create_connection(address, timeout=timeout) as s:
-        s.settimeout(timeout)
-        out = b""
-        want = n_expected * _BYTES_PER_SAMPLE
-        v_off = 0
-        while v_off < len(vid):
-            part = vid[v_off:v_off + frames_per_msg]
-            s.sendall(av_frame(vtype, part.tobytes()))
-            v_off += len(part)
-            try:
-                s.settimeout(0.0)
-                part = s.recv(1 << 20)
-                if part:
-                    out += part
-            except (BlockingIOError, socket.timeout):
-                pass
-            finally:
-                s.settimeout(timeout)
-        while len(out) < want:
-            part = s.recv(1 << 20)
-            if not part:
-                break
-            out += part
-    return np.frombuffer(out[:want], dtype="<f4")
+    collect n_expected probs. One wire loop on purpose: with empty PCM,
+    av_stream_client sends only V/U messages — byte-identical."""
+    return av_stream_client(address, np.zeros(0, np.float32), video,
+                            n_expected, frames_per_msg=frames_per_msg,
+                            timeout=timeout, video_wire=video_wire)
 
 
 def stream_client(address, pcm: np.ndarray, n_expected: int,

@@ -44,7 +44,7 @@ def main():
                    help="AV fusion: MCB (default) or concat")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard streams over a data-axis mesh of this size "
-                        "(streams must divide it; per-stream ticks need no "
+                        "(must divide --streams; per-stream ticks need no "
                         "collectives)")
     args = p.parse_args()
 

@@ -207,3 +207,23 @@ def test_quantized_state_through_model_head():
         yq = m.apply(variables, xb)
         d = float(jnp.abs(yq - y0).max())
         assert d < tol, (q, d)
+
+
+def test_quantized_state_is_inference_only_with_clear_error():
+    """Differentiating the quantized-state recurrence must fail with the
+    explicit inference-only message, not an opaque Pallas autodiff error."""
+    import numpy as np
+    import pytest
+
+    from avvad_tpu.ops.lstm_pallas import lstm_layer_fused
+
+    rng = np.random.default_rng(0)
+    xp = jnp.asarray(rng.normal(size=(2, 8, 64)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(16, 64)).astype(np.float32) * 0.1)
+
+    def loss(xp):
+        return lstm_layer_fused(xp, w, interpret=True,
+                                state_quant="int8").sum()
+
+    with pytest.raises(NotImplementedError, match="inference-only"):
+        jax.grad(loss)(xp)

@@ -175,6 +175,7 @@ def test_multistream_serving_sharded_over_mesh_matches_single_device():
     def run(mesh_arg):
         ms = MultiStreamVAD(model, variables, n_streams=8, block_frames=8,
                             max_backlog_blocks=256, mesh=mesh_arg)
+        ms.warmup()  # must compile the same (sharded) signature as tick()
         outs = [[] for _ in range(8)]
         for i, s in enumerate(sigs):
             ms.feed(i, s)
