@@ -199,7 +199,47 @@ class StreamingVAD:
         return np.asarray(probs)[:n]
 
 
-class MultiStreamVAD:
+class _MultiStreamBase:
+    """State shared by every multi-stream server: mesh placement of the
+    variables, stream-sharded LSTM carries, per-row carry recycling, and
+    the per-tick carry masking that keeps inactive (padded) streams'
+    recurrent state untouched."""
+
+    def _init_streams(self, model, variables: dict, n_streams: int,
+                      block_frames: int, max_backlog_blocks: int, mesh):
+        self.model = model
+        # mesh: shard the tick over the mesh's `data` axis (streams are
+        # independent rows — no collectives); variables replicate
+        self._stream_sharding, repl = _serving_shardings(mesh, n_streams)
+        if repl is not None:
+            variables = jax.device_put(variables, repl)
+        self.variables = variables
+        self.n = n_streams
+        self.block_frames = block_frames
+        self.max_backlog_blocks = max_backlog_blocks
+
+    def _zero_carries(self) -> list:
+        h = self.model.lstm_hidden_size
+        sh = self._stream_sharding
+        return [(_put_streams(jnp.zeros((self.n, h)), sh),
+                 _put_streams(jnp.zeros((self.n, h)), sh))
+                for _ in range(self.model.lstm_layers)]
+
+    def _clear_carry_row(self, stream_idx: int) -> None:
+        self._carries = [
+            (h.at[stream_idx].set(0.0), c.at[stream_idx].set(0.0))
+            for h, c in self._carries
+        ]
+
+    @staticmethod
+    def _mask_carries(active, new_carries, carries):
+        """Restore carries of inactive (padded) streams after a step."""
+        a = active[:, None]
+        return [(a * hn + (1 - a) * ho, a * cn + (1 - a) * co)
+                for (hn, cn), (ho, co) in zip(new_carries, carries)]
+
+
+class MultiStreamVAD(_MultiStreamBase):
     """N concurrent independent audio streams through ONE jitted step.
 
     The production server-tick shape: each call to tick() advances every
@@ -217,17 +257,9 @@ class MultiStreamVAD:
                  native: bool = True,
                  max_backlog_blocks: int = 32,
                  mesh=None):
-        self.model = model
-        # mesh: shard the tick over the mesh's `data` axis (streams are
-        # independent rows — no collectives); variables replicate
-        self._stream_sharding, repl = _serving_shardings(mesh, n_streams)
-        if repl is not None:
-            variables = jax.device_put(variables, repl)
-        self.variables = variables
-        self.n = n_streams
+        self._init_streams(model, variables, n_streams, block_frames,
+                           max_backlog_blocks, mesh)
         self.cfg = stft_cfg
-        self.block_frames = block_frames
-        self.max_backlog_blocks = max_backlog_blocks
         self._nfft = stft_cfg.nfft
         self._hop = stft_cfg.hopsamp
         # sample buffering + per-tick block assembly live in the native hub
@@ -245,16 +277,13 @@ class MultiStreamVAD:
 
     def reset(self) -> None:
         self._hub.reset()
-        h = self.model.lstm_hidden_size
-        sh = self._stream_sharding
-        self._carries = [(_put_streams(jnp.zeros((self.n, h)), sh),
-                          _put_streams(jnp.zeros((self.n, h)), sh))
-                         for _ in range(self.model.lstm_layers)]
+        self._carries = self._zero_carries()
 
     def _build_step(self):
         model = self.model
         eps = self.cfg.eps
         cos_b, sin_b, mean, std = self._cos, self._sin, self._mean, self._std
+        mask_carries = self._mask_carries
 
         @jax.jit
         def step(variables, frames, peaks, active, carries):
@@ -263,10 +292,7 @@ class MultiStreamVAD:
                                      cos_b, sin_b, eps, mean, std)
             logits, new_carries = model.apply(variables, feats, carries,
                                               method=model.streaming_head)
-            # restore carries of inactive (padded) streams
-            a = active[:, None]
-            masked = [(a * hn + (1 - a) * ho, a * cn + (1 - a) * co)
-                      for (hn, cn), (ho, co) in zip(new_carries, carries)]
+            masked = mask_carries(active, new_carries, carries)
             return jax.nn.sigmoid(logits[..., 0]), masked
 
         return step
@@ -313,10 +339,7 @@ class MultiStreamVAD:
         """Recycle one stream slot: clear its buffer/peak and zero its LSTM
         carries (other streams are untouched)."""
         self._hub.reset_stream(stream_idx)
-        self._carries = [
-            (h.at[stream_idx].set(0.0), c.at[stream_idx].set(0.0))
-            for h, c in self._carries
-        ]
+        self._clear_carry_row(stream_idx)
 
     def tick(self, fetch: bool = True) -> dict:
         """Advance every stream with >= block_frames buffered; returns
@@ -454,7 +477,7 @@ class StreamingAVVAD:
         return np.asarray(probs)[:n]
 
 
-class MultiStreamAVVAD:
+class MultiStreamAVVAD(_MultiStreamBase):
     """N concurrent independent AUDIO-VISUAL streams through ONE jitted
     step (the AV counterpart of MultiStreamVAD).
 
@@ -476,16 +499,9 @@ class MultiStreamAVVAD:
                  max_backlog_blocks: int = 32,
                  video_uint8: bool = False,
                  mesh=None):
-        self.model = model
-        # mesh: see MultiStreamVAD — streams shard over the `data` axis
-        self._stream_sharding, repl = _serving_shardings(mesh, n_streams)
-        if repl is not None:
-            variables = jax.device_put(variables, repl)
-        self.variables = variables
-        self.n = n_streams
+        self._init_streams(model, variables, n_streams, block_frames,
+                           max_backlog_blocks, mesh)
         self.cfg = stft_cfg
-        self.block_frames = block_frames
-        self.max_backlog_blocks = max_backlog_blocks
         self.video_uint8 = video_uint8
         self._vdtype = np.uint8 if video_uint8 else np.float32
         self._nfft = stft_cfg.nfft
@@ -509,11 +525,7 @@ class MultiStreamAVVAD:
         self._hub.reset()
         self._vbufs = [np.zeros((0, 67, 67), self._vdtype)
                        for _ in range(self.n)]
-        h = self.model.lstm_hidden_size
-        sh = self._stream_sharding
-        self._carries = [(_put_streams(jnp.zeros((self.n, h)), sh),
-                          _put_streams(jnp.zeros((self.n, h)), sh))
-                         for _ in range(self.model.lstm_layers)]
+        self._carries = self._zero_carries()
 
     def _build_step(self):
         model = self.model
@@ -521,6 +533,7 @@ class MultiStreamAVVAD:
         cos_b, sin_b = self._cos, self._sin
         a_mean, a_std = self._a_mean, self._a_std
         v_mean, v_std = self._v_mean, self._v_std
+        mask_carries = self._mask_carries
 
         @jax.jit
         def step(variables, frames, video, peaks, active, carries):
@@ -534,9 +547,7 @@ class MultiStreamAVVAD:
             logits, new_carries = model.apply(
                 variables, feats, v, carries, per_stream_norm=True,
                 method=model.streaming_head)
-            a = active[:, None]
-            masked = [(a * hn + (1 - a) * ho, a * cn + (1 - a) * co)
-                      for (hn, cn), (ho, co) in zip(new_carries, carries)]
+            masked = mask_carries(active, new_carries, carries)
             return jax.nn.sigmoid(logits[..., 0]), masked
 
         return step
@@ -594,10 +605,7 @@ class MultiStreamAVVAD:
         """Recycle one stream slot (buffers, peak, LSTM carries)."""
         self._hub.reset_stream(stream_idx)
         self._vbufs[stream_idx] = np.zeros((0, 67, 67), self._vdtype)
-        self._carries = [
-            (h.at[stream_idx].set(0.0), c.at[stream_idx].set(0.0))
-            for h, c in self._carries
-        ]
+        self._clear_carry_row(stream_idx)
 
     def tick(self, fetch: bool = True) -> dict:
         """Advance every stream with a full audio AND video block; returns
@@ -698,7 +706,7 @@ class StreamingVideoVAD:
         return np.asarray(probs)[:n]
 
 
-class MultiStreamVideoVAD:
+class MultiStreamVideoVAD(_MultiStreamBase):
     """N concurrent video-only streams through one jitted tick (the
     video twin of MultiStreamVAD; wire-compatible with the AV framed
     protocol restricted to V/U messages). Masked carries keep batched
@@ -710,15 +718,8 @@ class MultiStreamVideoVAD:
                  max_backlog_blocks: int = 32,
                  video_uint8: bool = False,
                  mesh=None):
-        self.model = model
-        # mesh: see MultiStreamVAD — streams shard over the `data` axis
-        self._stream_sharding, repl = _serving_shardings(mesh, n_streams)
-        if repl is not None:
-            variables = jax.device_put(variables, repl)
-        self.variables = variables
-        self.n = n_streams
-        self.block_frames = block_frames
-        self.max_backlog_blocks = max_backlog_blocks
+        self._init_streams(model, variables, n_streams, block_frames,
+                           max_backlog_blocks, mesh)
         self.video_uint8 = video_uint8
         self._vdtype = np.uint8 if video_uint8 else np.float32
         self._v_mean = _norm_stat(norm_stats, "video_mean")
@@ -731,15 +732,12 @@ class MultiStreamVideoVAD:
     def reset(self) -> None:
         self._vbufs = [np.zeros((0, 67, 67), self._vdtype)
                        for _ in range(self.n)]
-        h = self.model.lstm_hidden_size
-        sh = self._stream_sharding
-        self._carries = [(_put_streams(jnp.zeros((self.n, h)), sh),
-                          _put_streams(jnp.zeros((self.n, h)), sh))
-                         for _ in range(self.model.lstm_layers)]
+        self._carries = self._zero_carries()
 
     def _build_step(self):
         model = self.model
         v_mean, v_std, eps = self._v_mean, self._v_std, self._eps
+        mask_carries = self._mask_carries
 
         @jax.jit
         def step(variables, video, active, carries):
@@ -748,9 +746,7 @@ class MultiStreamVideoVAD:
                 v = (v - v_mean) / (v_std + eps)
             logits, new_carries = model.apply(
                 variables, v, carries, method=model.streaming_head)
-            a = active[:, None]
-            masked = [(a * hn + (1 - a) * ho, a * cn + (1 - a) * co)
-                      for (hn, cn), (ho, co) in zip(new_carries, carries)]
+            masked = mask_carries(active, new_carries, carries)
             return jax.nn.sigmoid(logits[..., 0]), masked
 
         return step
@@ -791,10 +787,7 @@ class MultiStreamVideoVAD:
     def reset_stream(self, stream_idx: int) -> None:
         """Recycle one stream slot (buffer + LSTM carries)."""
         self._vbufs[stream_idx] = np.zeros((0, 67, 67), self._vdtype)
-        self._carries = [
-            (h.at[stream_idx].set(0.0), c.at[stream_idx].set(0.0))
-            for h, c in self._carries
-        ]
+        self._clear_carry_row(stream_idx)
 
     def tick(self, fetch: bool = True) -> dict:
         """Advance every stream with a full video block; returns
