@@ -97,6 +97,49 @@ def circular_conv_real(px: jax.Array, py: jax.Array,
     return dot(re_p, mr) + dot(im_p, mi)
 
 
+def fold_count_sketch(m: np.ndarray, out_dim: int) -> np.ndarray:
+    """Fold a (in_dim, out_dim) count-sketch matrix into the rfft bases.
+
+    Returns a (2, in_dim, f) stack [M @ C; M @ S] (f = out_dim//2 + 1),
+    computed in float64 on the host and rounded once to float32 — at least
+    as accurate as the in-graph fp32-HIGHEST fold it replaces."""
+    cos_b, sin_b = _rdft_bases(out_dim)
+    m64 = np.asarray(m, dtype=np.float64)
+    return np.stack([
+        (m64 @ cos_b.astype(np.float64)).astype(np.float32),
+        (m64 @ sin_b.astype(np.float64)).astype(np.float32),
+    ])
+
+
+def fold_sketch_collection(variables):
+    """Rewrite a variables pytree for a `folded_vars=True` MCB module.
+
+    Walks the "sketch" collection and replaces every {sketch1, sketch2}
+    pair of plain (in_dim, out_dim) matrices with their pre-folded
+    (2, in_dim, f) stacks, so checkpoints saved with the standard layout
+    (including torch-imported (h, s) sketches) load into the hoisted-fold
+    serving configuration. Everything else is shared by reference."""
+    import copy
+
+    def _walk(node):
+        if not isinstance(node, dict):
+            return node
+        node = dict(node)
+        for k, v in node.items():
+            if (k in ("sketch1", "sketch2") and hasattr(v, "ndim")
+                    and v.ndim == 2):
+                node[k] = jnp.asarray(fold_count_sketch(np.asarray(v),
+                                                        v.shape[1]))
+            else:
+                node[k] = _walk(v)
+        return node
+
+    variables = copy.copy(dict(variables))
+    if "sketch" in variables:
+        variables["sketch"] = _walk(variables["sketch"])
+    return variables
+
+
 class CompactBilinearPooling(nn.Module):
     """MCB of two feature streams: (..., d1), (..., d2) -> (..., out_dim).
 
@@ -109,7 +152,14 @@ class CompactBilinearPooling(nn.Module):
     variables per call (a (d_in, 1024)x(1024, 513) matmul — noise next to
     the batch work) and the folding matmul is always full-precision, so
     checkpoints, the (h, s) torch-import path, and gradients (autodiff
-    through the same contraction) are unaffected."""
+    through the same contraction) are unaffected.
+
+    `folded_vars` (serving): store the sketch variables PRE-folded as
+    (2, d_in, f) stacks instead of refolding inside every jitted step —
+    the per-call fold is 4 constant fp32-HIGHEST matmuls that XLA cannot
+    hoist across dispatches (the sketches arrive as runtime inputs).
+    Identical math, computed once on the host; convert standard
+    checkpoints with `fold_sketch_collection`."""
 
     input1_size: int
     input2_size: int
@@ -117,12 +167,36 @@ class CompactBilinearPooling(nn.Module):
     seed: int = 0
     precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
     fold_sketch: bool = True
+    folded_vars: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, y: jax.Array | None = None) -> jax.Array:
         if y is None:
             y = x
         rng = np.random.default_rng(self.seed)
+        if self.folded_vars:
+            m1 = self.variable(
+                "sketch", "sketch1",
+                lambda: jnp.asarray(fold_count_sketch(
+                    count_sketch_matrix(rng, self.input1_size,
+                                        self.output_size),
+                    self.output_size)),
+            )
+            m2 = self.variable(
+                "sketch", "sketch2",
+                lambda: jnp.asarray(fold_count_sketch(
+                    count_sketch_matrix(rng, self.input2_size,
+                                        self.output_size),
+                    self.output_size)),
+            )
+            dot = functools.partial(jnp.matmul, precision=self.precision,
+                                    preferred_element_type=jnp.float32)
+            mr, mi = (jnp.asarray(b) for b in _irdft_bases(self.output_size))
+            re_x, im_x = dot(x, m1.value[0]), dot(x, m1.value[1])
+            re_y, im_y = dot(y, m2.value[0]), dot(y, m2.value[1])
+            re_p = re_x * re_y - im_x * im_y
+            im_p = re_x * im_y + im_x * re_y
+            return dot(re_p, mr) + dot(im_p, mi)
         m1 = self.variable(
             "sketch", "sketch1",
             lambda: jnp.asarray(count_sketch_matrix(rng, self.input1_size,

@@ -274,6 +274,10 @@ class AVVAD(nn.Module):
     # truncates inputs to bf16 — measured quality-neutral for serving (probs
     # shift < 1e-3; see BENCH_NOTES.md) at ~6x the MXU rate.
     mcb_precision: jax.lax.Precision = jax.lax.Precision.HIGHEST
+    # Serving: store sketches pre-folded into the DFT bases so the constant
+    # fold matmuls run once on the host, not in every step. Convert loaded
+    # checkpoints with mcb.fold_sketch_collection (identical math).
+    mcb_folded_vars: bool = False
     dropout_rate: float = 0.0  # reference Dropout(0.05), never enabled
 
     def setup(self):
@@ -287,7 +291,8 @@ class AVVAD(nn.Module):
         if self.use_mcb:
             self.mcb = CompactBilinearPooling(
                 self.num_audio_features, self.num_video_features,
-                self.mcb_output_size, precision=self.mcb_precision)
+                self.mcb_output_size, precision=self.mcb_precision,
+                folded_vars=self.mcb_folded_vars)
             # use_fast_variance=False: the default E[x^2]-E[x]^2 formula can
             # come out slightly NEGATIVE for near-constant channels, and
             # this BN runs with the reference's tiny eps (1e-8, vs the

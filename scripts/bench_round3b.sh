@@ -16,19 +16,17 @@ timeout 5 bash -c 'echo > /dev/tcp/127.0.0.1/8082' \
 #    variants, and direct-vs-hop frontend timing
 run timeout 1800 python scripts/bench_lstm_probe.py --iters 30
 
-# 2) headline bench: shipped config, then each candidate alone, then the
-#    best combination (expected order: hop_dft +~7% if frontend is
-#    MXU-bound; lstm int8 +~5-9% if the recurrence is MXU-bound)
-run timeout 3600 python bench.py
-AVVAD_BENCH_HOP_DFT=1 run timeout 3600 python bench.py
-AVVAD_BENCH_LSTM_QUANT=int8 run timeout 3600 python bench.py
+# 2) headline bench: the auto ladder (AVVAD_BENCH_AUTO default) times
+#    shipped, hop_dft+lstm_int8, hop_dft, lstm_int8, then the hoisted
+#    MCB fold on the interim winner, and full-measures the fastest —
+#    one invocation covers the whole candidate table (stderr has the
+#    per-candidate ms/step lines).
+AVVAD_BENCH_AUTO_BUDGET_S=3000 run timeout 4800 python bench.py
+# bf16 LSTM state is the one gated candidate outside the ladder
 AVVAD_BENCH_LSTM_QUANT=bf16 run timeout 3600 python bench.py
-AVVAD_BENCH_HOP_DFT=1 AVVAD_BENCH_LSTM_QUANT=int8 \
-  run timeout 3600 python bench.py
 
-# 3) if a winner emerges, make it the bench default (bench.py env
-#    defaults), record the table in BENCH_NOTES.md, and re-run the
-#    already-committed quality gates on hardware if numerics differ
-#    from the CPU gates (they should not: both paths are
-#    platform-agnostic fp32/int8 math).
+# 3) record the candidate table in BENCH_NOTES.md (the ladder already
+#    ships the winner as the headline); re-run the committed quality
+#    gates on hardware only if numerics differ from the CPU gates (they
+#    should not: both paths are platform-agnostic fp32/int8 math).
 echo "done -> $OUT"

@@ -51,6 +51,10 @@ def parse_args():
                         "inputs, f32 accumulation; ~6x the MXU rate, probs "
                         "move ~1e-6 — see BENCH_NOTES.md) instead of the "
                         "parity default fp32-HIGHEST")
+    p.add_argument("--mcb-hoist", action="store_true",
+                   help="store MCB sketches pre-folded into the DFT bases: "
+                        "identical math with the constant fold matmuls "
+                        "hoisted out of the jitted step (av + --mcb only)")
     p.add_argument("--tower-stem-int8", action="store_true",
                    help="quantize the stem conv too (input quantized with a "
                         "calibrated scale; lip frames are 8-bit pixels by "
@@ -93,6 +97,8 @@ def parse_args():
                                   and args.tower_quant_mode == "static"):
         p.error("--tower-pallas requires --tower-int8 "
                 "--tower-quant-mode static")
+    if args.mcb_hoist and (args.modality != "av" or not args.mcb):
+        p.error("--mcb-hoist requires --modality av with --mcb")
     return args
 
 
@@ -171,6 +177,17 @@ def main():
                                        n_utts=args.calibrate_utts)
         print(f"calibrated int8 scales on {args.calibrate_utts} "
               f"{args.calibrate_split} utterances")
+
+    if args.modality == "av" and args.mcb_hoist:
+        # after restore + calibrate: fold the loaded (standard-layout)
+        # sketches once on the host and swap in the folded-vars model
+        from avvad_tpu.models.mcb import fold_sketch_collection
+
+        model = model.clone(mcb_folded_vars=True)
+        state = state.replace(
+            apply_fn=model.apply,
+            sketch=fold_sketch_collection({"sketch": state.sketch})["sketch"])
+        print("MCB sketches pre-folded (hoisted fold)")
 
     mesh = None
     if args.data_parallel:

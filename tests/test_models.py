@@ -128,6 +128,56 @@ def test_mcb_matches_direct_circular_conv():
     np.testing.assert_allclose(z, ref, atol=1e-4)
 
 
+def test_mcb_folded_vars_matches_standard():
+    """Hoisted-fold serving layout: a folded_vars=True module applied to
+    fold_sketch_collection(vars) reproduces the standard module exactly
+    (same matmuls reordered; the fold happens once on the host), and its
+    own init produces the folded layout directly."""
+    from avvad_tpu.models import CompactBilinearPooling
+    from avvad_tpu.models.mcb import fold_sketch_collection
+
+    d1, d2, out = 13, 9, 16
+    mcb = CompactBilinearPooling(d1, d2, out, seed=7)
+    folded = CompactBilinearPooling(d1, d2, out, seed=7, folded_vars=True)
+    x = jax.random.normal(jax.random.PRNGKey(2), (4, d1))
+    y = jax.random.normal(jax.random.PRNGKey(3), (4, d2))
+    variables = mcb.init(jax.random.PRNGKey(0), x, y)
+    z = np.asarray(mcb.apply(variables, x, y))
+
+    fv = fold_sketch_collection(variables)
+    assert fv["sketch"]["sketch1"].shape == (2, d1, out // 2 + 1)
+    zf = np.asarray(folded.apply(fv, x, y))
+    np.testing.assert_allclose(zf, z, atol=1e-5)
+
+    # init of the folded module builds the same folded sketches directly
+    fv_init = folded.init(jax.random.PRNGKey(0), x, y)
+    np.testing.assert_allclose(np.asarray(fv_init["sketch"]["sketch1"]),
+                               np.asarray(fv["sketch"]["sketch1"]), atol=0)
+
+    # untouched collections are shared by reference, and the original
+    # variables are not mutated
+    assert variables["sketch"]["sketch1"].shape == (d1, out)
+
+
+def test_avvad_mcb_folded_vars_probability_parity():
+    """Whole-model check: AVVAD(mcb_folded_vars=True) on the folded
+    variables matches the standard model's logits."""
+    from avvad_tpu.models import AVVAD
+    from avvad_tpu.models.mcb import fold_sketch_collection
+
+    model = AVVAD(y_dim=1, lstm_hidden_size=16, lstm_layers=1, use_mcb=True)
+    b, t = 2, 6
+    audio = jax.random.normal(jax.random.PRNGKey(0), (b, t, 513))
+    video = jax.random.normal(jax.random.PRNGKey(1), (b, t, 67, 67))
+    variables = model.init(jax.random.PRNGKey(2), audio, video)
+    base = np.asarray(model.apply(variables, audio, video, train=False))
+
+    folded_model = model.clone(mcb_folded_vars=True)
+    fv = fold_sketch_collection(variables)
+    out = np.asarray(folded_model.apply(fv, audio, video, train=False))
+    np.testing.assert_allclose(out, base, atol=1e-5)
+
+
 def test_mcb_gradient_matches_reference_backward_shape():
     """Autodiff through the sketch matmul reproduces gather(g, h) * s."""
     from avvad_tpu.models.mcb import count_sketch_matrix

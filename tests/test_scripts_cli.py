@@ -13,6 +13,7 @@ SCRIPTS = [
     "scripts/create_train_files.py",
     "scripts/reconstruct.py",
     "scripts/import_checkpoint.py",
+    "scripts/export_serving.py",
     "scripts/stream_demo.py",
     "scripts/visualization_audio.py",
     "scripts/visualization_video.py",
