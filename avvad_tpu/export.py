@@ -53,12 +53,17 @@ class ServingArtifact:
         """Export each ``name -> (fn, example_args)`` under jit.
 
         ``fn`` must be jittable with weights already closed over;
-        ``example_args`` fixes the (static) serving shapes.
+        ``example_args`` fixes the (static) serving shapes. A fn that is
+        already a ``jax.jit`` object is exported as-is — pass one built
+        with in_/out_shardings over a Mesh to export a MULTI-CHIP serving
+        program (replay requires the same device count; jax.export
+        records the sharded SPMD module).
         """
         entries = {}
         for name, (fn, example_args) in fns.items():
+            jitted = fn if isinstance(fn, jax.stages.Wrapped) else jax.jit(fn)
             entries[name] = jax_export.export(
-                jax.jit(fn), platforms=platforms)(*example_args)
+                jitted, platforms=platforms)(*example_args)
         full_meta = {
             "format_version": _FORMAT_VERSION,
             "jax_version": jax.__version__,
@@ -105,31 +110,130 @@ class ServingArtifact:
         return name in self.entries
 
 
+def make_streaming_step_fn(streamer) -> tuple[Callable, tuple]:
+    """-> (fn, example_args): a streamer's device step with weights baked,
+    ready for ``ServingArtifact.build``.
+
+    ``fn`` returns ``(probs, new_carries)``; a deployment loop owns the
+    block assembly (cut windows host-side exactly as serve.py's feed()
+    does) and feeds ``new_carries`` back into the next call — the LSTM
+    state stays on device between blocks, so replay matches the live
+    streamer block for block. One artifact entry per block shape.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from . import serve as _serve
+
+    step, variables = streamer._step, streamer.variables
+    h = streamer.model.lstm_hidden_size
+    carries = [(jnp.zeros((1, h), jnp.float32),
+                jnp.zeros((1, h), jnp.float32))
+               for _ in range(streamer.model.lstm_layers)]
+    bf = streamer.block_frames
+
+    if isinstance(streamer, _serve.StreamingAVVAD):
+        vdtype = jnp.uint8 if streamer._vdtype == np.uint8 else jnp.float32
+
+        def fn(frames, video, peak, carries):
+            return step(variables, frames, video, peak, carries)
+        example = (jnp.zeros((bf, streamer._nfft), jnp.float32),
+                   jnp.zeros((bf, 67, 67), vdtype),
+                   jnp.float32(1.0), carries)
+        return fn, example
+    if isinstance(streamer, _serve.StreamingVideoVAD):
+        vdtype = jnp.uint8 if streamer._vdtype == np.uint8 else jnp.float32
+
+        def fn(video, carries):
+            return step(variables, video, carries)
+        return fn, (jnp.zeros((bf, 67, 67), vdtype), carries)
+    if isinstance(streamer, _serve.StreamingVAD):
+        def fn(frames, peak, carries):
+            return step(variables, frames, peak, carries)
+        return fn, (jnp.zeros((bf, streamer._nfft), jnp.float32),
+                    jnp.float32(1.0), carries)
+    raise TypeError(f"not a single-stream streamer: {type(streamer)!r}")
+
+
+def make_multistream_tick_fn(server) -> tuple[Callable, tuple]:
+    """-> (fn, example_args): a multi-stream server's tick step with
+    weights baked, for ``ServingArtifact.build``.
+
+    The tick advances all N streams at once: padded (not-ready) streams
+    pass ``active=0`` and have their LSTM carries mask-restored inside
+    the step, exactly as the live server does — so an artifact-driven
+    server loop (host-side buffering + block assembly + this tick)
+    reproduces serve.py's multi-stream semantics. Carries are explicit
+    inputs/outputs; clear a disconnected stream's row to zero host-side.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    from . import serve as _serve
+
+    step, variables = server._step, server.variables
+    n, bf = server.n, server.block_frames
+    h = server.model.lstm_hidden_size
+    carries = [(jnp.zeros((n, h), jnp.float32),
+                jnp.zeros((n, h), jnp.float32))
+               for _ in range(server.model.lstm_layers)]
+    peaks = jnp.ones((n,), jnp.float32)
+    active = jnp.ones((n,), jnp.float32)
+
+    if isinstance(server, _serve.MultiStreamAVVAD):
+        vdtype = jnp.uint8 if server._vdtype == np.uint8 else jnp.float32
+
+        def fn(frames, video, peaks, active, carries):
+            return step(variables, frames, video, peaks, active, carries)
+        return fn, (jnp.zeros((n, bf, server._nfft), jnp.float32),
+                    jnp.zeros((n, bf, 67, 67), vdtype),
+                    peaks, active, carries)
+    if isinstance(server, _serve.MultiStreamVideoVAD):
+        vdtype = jnp.uint8 if server._vdtype == np.uint8 else jnp.float32
+
+        def fn(video, active, carries):
+            return step(variables, video, active, carries)
+        return fn, (jnp.zeros((n, bf, 67, 67), vdtype), active, carries)
+    if isinstance(server, _serve.MultiStreamVAD):
+        def fn(frames, peaks, active, carries):
+            return step(variables, frames, peaks, active, carries)
+        return fn, (jnp.zeros((n, bf, server._nfft), jnp.float32),
+                    peaks, active, carries)
+    raise TypeError(f"not a multi-stream server: {type(server)!r}")
+
+
 def make_waveform_serving_fn(model, variables, *, t_frames: int,
                              fs: int = 16000, wlen_sec: float = 64e-3,
                              hop_percent: float = 0.25,
                              hop_dft: bool = False,
                              fe_precision=jax.lax.Precision.HIGHEST,
                              norm_stats: Optional[dict] = None,
+                             eps: float = 1e-8,
                              video_frame_indices=None) -> Callable:
     """The full raw-input serving step with weights closed over.
 
     audio-only models: fn(wave (B, n)) -> probs; video-only:
     fn(video) -> probs; AV: fn(wave, video) -> probs. Waveforms run
     through the on-device log-power STFT frontend (optionally the
-    hop-block DFT variant); per-bin normalization applies when
-    ``norm_stats`` has mean/std (matches serve.py's streamers).
+    hop-block DFT variant). Dataset normalization applies when
+    ``norm_stats`` carries the checkpoint keys audio_mean/audio_std and
+    video_mean/video_std (plain mean/std accepted for the audio pair) —
+    ``(x - mean) / (std + eps)``, exactly serve.py's streamers.
     """
     import jax.numpy as jnp
+    import numpy as np
 
     from .ops.stft import log_power_frontend
 
-    mean = std = None
-    if norm_stats:
-        mean = jnp.asarray(norm_stats.get("mean")) \
-            if norm_stats.get("mean") is not None else None
-        std = jnp.asarray(norm_stats.get("std")) \
-            if norm_stats.get("std") is not None else None
+    def _stat(*keys):
+        for k in keys:
+            v = (norm_stats or {}).get(k)
+            if v is not None:
+                return jnp.asarray(np.asarray(v).reshape(-1))
+        return None
+
+    a_mean, a_std = _stat("audio_mean", "mean"), _stat("audio_std", "std")
+    v_mean, v_std = _stat("video_mean"), _stat("video_std")
 
     def frontend(wave):
         feats = log_power_frontend(wave, fs=fs, wlen_sec=wlen_sec,
@@ -137,9 +241,14 @@ def make_waveform_serving_fn(model, variables, *, t_frames: int,
                                    pad_at_end=True, precision=fe_precision,
                                    hop_dft=hop_dft)
         feats = feats[:, :t_frames, :]
-        if mean is not None:
-            feats = (feats - mean) / (std if std is not None else 1.0)
+        if a_mean is not None:
+            feats = (feats - a_mean) / (a_std + eps)
         return feats
+
+    def norm_video(video):
+        if v_mean is not None:
+            return (video - v_mean) / (v_std + eps)
+        return video
 
     name = model.__class__.__name__
     if name == "AudioVAD":
@@ -157,7 +266,7 @@ def make_waveform_serving_fn(model, variables, *, t_frames: int,
             if video_frame_indices is not None:
                 kw["video_frame_indices"] = video_frame_indices
             return jax.nn.sigmoid(
-                model.apply(variables, video, train=False, **kw))
+                model.apply(variables, norm_video(video), train=False, **kw))
         return fn
 
     def fn(wave, video):  # AVVAD
@@ -165,5 +274,6 @@ def make_waveform_serving_fn(model, variables, *, t_frames: int,
         if video_frame_indices is not None:
             kw["video_frame_indices"] = video_frame_indices
         return jax.nn.sigmoid(
-            model.apply(variables, frontend(wave), video, train=False, **kw))
+            model.apply(variables, frontend(wave), norm_video(video),
+                        train=False, **kw))
     return fn

@@ -56,8 +56,9 @@ def test_audio_artifact_with_norm_stats(tmp_path):
     model = AudioVAD(lstm_hidden_size=16, lstm_layers=1)
     variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 513)))
     wave = jax.random.normal(jax.random.PRNGKey(1), (b, n))
-    stats = {"mean": np.full((513,), 0.25, np.float32),
-             "std": np.full((513,), 2.0, np.float32)}
+    # checkpoint-convention keys, reference (dim, 1) stat shapes
+    stats = {"audio_mean": np.full((513, 1), 0.25, np.float32),
+             "audio_std": np.full((513, 1), 2.0, np.float32)}
 
     fn = make_waveform_serving_fn(model, variables, t_frames=t,
                                   norm_stats=stats)
@@ -68,7 +69,7 @@ def test_audio_artifact_with_norm_stats(tmp_path):
 
     feats = log_power_frontend(wave, fs=fs, wlen_sec=64e-3, hop_percent=0.25,
                                center=False, pad_at_end=True)[:, :t, :]
-    feats = (feats - stats["mean"]) / stats["std"]
+    feats = (feats - 0.25) / (2.0 + 1e-8)
     want = np.asarray(jax.nn.sigmoid(model.apply(variables, feats,
                                                  train=False)))
     np.testing.assert_allclose(got, want, atol=1e-6)
@@ -116,6 +117,133 @@ def test_raw_audio_artifact(tmp_path):
     artifact.save(p)
     got = np.asarray(ServingArtifact.load(p).call("b2", wave))
     np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_streaming_step_artifact_matches_live_streamer(tmp_path):
+    """Exported streaming step replays block-for-block against the live
+    StreamingVAD, with carries round-tripping through the artifact."""
+    from avvad_tpu.export import make_streaming_step_fn
+    from avvad_tpu.models import AudioVAD
+    from avvad_tpu.serve import StreamingVAD
+
+    model = AudioVAD(lstm_hidden_size=16, lstm_layers=2)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 513)))
+    streamer = StreamingVAD(model, variables, block_frames=4, fixed_peak=1.0)
+
+    rng = np.random.default_rng(0)
+    pcm = rng.standard_normal(1024 + 4 * 256 * 3).astype(np.float32)
+    live = streamer.feed(pcm)
+    assert live.size >= 8  # at least two blocks fired
+
+    fn, example = make_streaming_step_fn(streamer)
+    artifact = ServingArtifact.build({"step": (fn, example)})
+    p = str(tmp_path / "stream.avvadx")
+    artifact.save(p)
+    loaded = ServingArtifact.load(p)
+
+    # replay: same block cutting as feed(), carries fed back each call
+    nfft, hop, bf = 1024, 256, 4
+    n = 1 + (len(pcm) - nfft) // hop
+    idx = np.arange(n)[:, None] * hop + np.arange(nfft)[None, :]
+    frames = pcm[idx]
+    h = model.lstm_hidden_size
+    carries = [(jnp.zeros((1, h)), jnp.zeros((1, h)))
+               for _ in range(model.lstm_layers)]
+    outs = []
+    for b in range(n // bf):
+        block = jnp.asarray(frames[b * bf:(b + 1) * bf])
+        probs, carries = loaded.call("step", block, jnp.float32(1.0),
+                                     carries)
+        outs.append(np.asarray(probs))
+    replay = np.concatenate(outs)
+    np.testing.assert_allclose(replay, live[: len(replay)], atol=1e-6)
+
+
+def test_streaming_av_step_fn_shapes():
+    """AV streaming step fn exports with the uint8 wire dtype preserved."""
+    from avvad_tpu.export import make_streaming_step_fn
+    from avvad_tpu.models import AVVAD
+    from avvad_tpu.serve import StreamingAVVAD
+
+    model = AVVAD(lstm_hidden_size=16, lstm_layers=1, use_mcb=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 513)),
+                           jnp.zeros((1, 4, 67, 67)))
+    streamer = StreamingAVVAD(model, variables, block_frames=4,
+                              fixed_peak=1.0, video_uint8=True)
+    fn, example = make_streaming_step_fn(streamer)
+    assert example[1].dtype == jnp.uint8
+    probs, carries = fn(*example)
+    assert probs.shape == (4,)
+    assert len(carries) == 1 and carries[0][0].shape == (1, 16)
+
+
+def test_multistream_tick_artifact_matches_live_server(tmp_path):
+    """Artifact-driven multi-stream tick reproduces the live server: same
+    probabilities AND mask-restored carries for inactive streams."""
+    from avvad_tpu.export import make_multistream_tick_fn
+    from avvad_tpu.models import AudioVAD
+    from avvad_tpu.serve import MultiStreamVAD
+
+    model = AudioVAD(lstm_hidden_size=16, lstm_layers=1)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 513)))
+    server = MultiStreamVAD(model, variables, n_streams=4, block_frames=4)
+
+    fn, example = make_multistream_tick_fn(server)
+    artifact = ServingArtifact.build({"tick": (fn, example)})
+    p = str(tmp_path / "tick.avvadx")
+    artifact.save(p)
+    loaded = ServingArtifact.load(p)
+
+    rng = np.random.default_rng(1)
+    frames = rng.standard_normal((4, 4, 1024)).astype(np.float32)
+    peaks = jnp.ones((4,))
+    active = jnp.asarray([1.0, 0.0, 1.0, 0.0])
+    h = model.lstm_hidden_size
+    carries = [(jnp.asarray(rng.standard_normal((4, h)), jnp.float32),
+                jnp.asarray(rng.standard_normal((4, h)), jnp.float32))]
+
+    want_p, want_c = server._step(server.variables, jnp.asarray(frames),
+                                  peaks, active, carries)
+    got_p, got_c = loaded.call("tick", jnp.asarray(frames), peaks, active,
+                               carries)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                               atol=1e-6)
+    for (gh, gc), (wh, wc) in zip(got_c, want_c):
+        np.testing.assert_allclose(np.asarray(gh), np.asarray(wh), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(wc), atol=1e-6)
+    # inactive rows kept their old carries
+    np.testing.assert_allclose(np.asarray(got_c[0][0])[1],
+                               np.asarray(carries[0][0])[1], atol=0)
+
+
+def test_sharded_serving_artifact(tmp_path):
+    """Multi-chip export: a data-sharded serving program round-trips and
+    replays on the virtual 8-device mesh with per-device batch rows."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = np.array(jax.devices()[:8])
+    if devs.size < 8:
+        pytest.skip("needs 8 virtual devices")
+    model, variables, t, _, _ = _tiny_av()
+    b = 8
+    n = 256 * (t - 1) + 1024
+    wave = jax.random.normal(jax.random.PRNGKey(0), (b, n))
+    video = jax.random.normal(jax.random.PRNGKey(1), (b, t, 67, 67))
+    fn = make_waveform_serving_fn(model, variables, t_frames=t)
+    want = np.asarray(fn(wave, video))
+
+    mesh = Mesh(devs, ("data",))
+    row = NamedSharding(mesh, P("data"))
+    sharded = jax.jit(fn, in_shardings=(row, row), out_shardings=row)
+    artifact = ServingArtifact.build({"b8x8": (sharded, (wave, video))},
+                                     meta={"mesh": "data=8"})
+    p = str(tmp_path / "sharded.avvadx")
+    artifact.save(p)
+
+    loaded = ServingArtifact.load(p)
+    got = np.asarray(loaded.call("b8x8", jax.device_put(wave, row),
+                                 jax.device_put(video, row)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
 
 
 def test_format_version_guard(tmp_path):
