@@ -202,6 +202,78 @@ def make_multistream_tick_fn(server) -> tuple[Callable, tuple]:
     raise TypeError(f"not a multi-stream server: {type(server)!r}")
 
 
+def export_multistream_server(server, path: str,
+                              meta: Optional[dict] = None,
+                              platforms: Optional[Sequence[str]] = None
+                              ) -> None:
+    """Save a multi-stream server as a self-contained serving artifact.
+
+    The artifact records the tick program (weights + normalization baked)
+    plus the server geometry, so ``load_multistream_server`` can rebuild
+    a fully functional server — native hub buffering, block assembly,
+    TCP front via VADServer — with no model code and no checkpoint.
+    """
+    import numpy as np
+
+    from . import serve as _serve
+
+    fn, example = make_multistream_tick_fn(server)
+    kind = ("av" if isinstance(server, _serve.MultiStreamAVVAD) else
+            "video" if isinstance(server, _serve.MultiStreamVideoVAD) else
+            "audio")
+    geometry = {
+        "kind": kind,
+        "n_streams": server.n,
+        "block_frames": server.block_frames,
+        "max_backlog_blocks": server.max_backlog_blocks,
+        "lstm_hidden": server.model.lstm_hidden_size,
+        "lstm_layers": server.model.lstm_layers,
+        "nfft": getattr(server, "_nfft", None),
+        "video_uint8": bool(getattr(server, "_vdtype", None) == np.uint8),
+    }
+    ServingArtifact.build({"tick": (fn, example)},
+                          meta={"multistream": geometry, **(meta or {})},
+                          platforms=platforms).save(path)
+
+
+def load_multistream_server(path: str, native: bool = True):
+    """Rebuild a multi-stream server from an artifact saved by
+    ``export_multistream_server`` — model-code-free deployment.
+
+    The returned object is a real MultiStream{VAD,VideoVAD,AVVAD}
+    (feed/tick/reset_stream/VADServer-compatible); its device step is the
+    artifact's tick program, so per-stream outputs match the original
+    server exactly.
+    """
+    from types import SimpleNamespace
+
+    from . import serve as _serve
+
+    artifact = ServingArtifact.load(path)
+    geo = artifact.meta.get("multistream")
+    if geo is None:
+        raise ValueError(f"{path}: not a multistream server artifact")
+    facts = SimpleNamespace(lstm_hidden_size=geo["lstm_hidden"],
+                            lstm_layers=geo["lstm_layers"])
+
+    def step(_variables, *args):
+        return artifact.call("tick", *args)
+
+    common = dict(n_streams=geo["n_streams"],
+                  block_frames=geo["block_frames"],
+                  max_backlog_blocks=geo["max_backlog_blocks"],
+                  step_override=step)
+    if geo["kind"] == "av":
+        return _serve.MultiStreamAVVAD(facts, {}, native=native,
+                                       video_uint8=geo["video_uint8"],
+                                       **common)
+    if geo["kind"] == "video":
+        return _serve.MultiStreamVideoVAD(facts, {},
+                                          video_uint8=geo["video_uint8"],
+                                          **common)
+    return _serve.MultiStreamVAD(facts, {}, native=native, **common)
+
+
 def make_waveform_serving_fn(model, variables, *, t_frames: int,
                              fs: int = 16000, wlen_sec: float = 64e-3,
                              hop_percent: float = 0.25,

@@ -256,7 +256,12 @@ class MultiStreamVAD(_MultiStreamBase):
                  block_frames: int = 16,
                  native: bool = True,
                  max_backlog_blocks: int = 32,
-                 mesh=None):
+                 mesh=None,
+                 step_override=None):
+        # step_override: replace the jitted model tick with an external
+        # step of the same signature — e.g. a loaded serving-artifact
+        # entry (export.load_multistream_server); `model` then only needs
+        # lstm_hidden_size/lstm_layers attributes and `variables` may be {}
         self._init_streams(model, variables, n_streams, block_frames,
                            max_backlog_blocks, mesh)
         self.cfg = stft_cfg
@@ -272,7 +277,8 @@ class MultiStreamVAD(_MultiStreamBase):
         self._cos, self._sin = jnp.asarray(cos_b), jnp.asarray(sin_b)
         self._mean = _norm_stat(norm_stats, "audio_mean")
         self._std = _norm_stat(norm_stats, "audio_std")
-        self._step = self._build_step()
+        self._step = (step_override if step_override is not None
+                      else self._build_step())
         self.reset()
 
     def reset(self) -> None:
@@ -498,7 +504,9 @@ class MultiStreamAVVAD(_MultiStreamBase):
                  native: bool = True,
                  max_backlog_blocks: int = 32,
                  video_uint8: bool = False,
-                 mesh=None):
+                 mesh=None,
+                 step_override=None):
+        # step_override: see MultiStreamVAD (artifact-driven serving)
         self._init_streams(model, variables, n_streams, block_frames,
                            max_backlog_blocks, mesh)
         self.cfg = stft_cfg
@@ -518,7 +526,8 @@ class MultiStreamAVVAD(_MultiStreamBase):
         self._v_mean = _norm_stat(norm_stats, "video_mean")
         self._v_std = _norm_stat(norm_stats, "video_std")
         self._vout = np.zeros((n_streams, block_frames, 67, 67), self._vdtype)
-        self._step = self._build_step()
+        self._step = (step_override if step_override is not None
+                      else self._build_step())
         self.reset()
 
     def reset(self) -> None:
@@ -717,7 +726,9 @@ class MultiStreamVideoVAD(_MultiStreamBase):
                  block_frames: int = 16,
                  max_backlog_blocks: int = 32,
                  video_uint8: bool = False,
-                 mesh=None):
+                 mesh=None,
+                 step_override=None):
+        # step_override: see MultiStreamVAD (artifact-driven serving)
         self._init_streams(model, variables, n_streams, block_frames,
                            max_backlog_blocks, mesh)
         self.video_uint8 = video_uint8
@@ -726,7 +737,8 @@ class MultiStreamVideoVAD(_MultiStreamBase):
         self._v_std = _norm_stat(norm_stats, "video_std")
         self._eps = STFTConfig().eps
         self._vout = np.zeros((n_streams, block_frames, 67, 67), self._vdtype)
-        self._step = self._build_step()
+        self._step = (step_override if step_override is not None
+                      else self._build_step())
         self.reset()
 
     def reset(self) -> None:

@@ -29,8 +29,13 @@ def main():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--modality", choices=["audio", "video", "av"],
                    default="audio")
-    p.add_argument("--checkpoint", required=True,
+    p.add_argument("--checkpoint",
                    help="AudioVAD/AVVAD checkpoint (model dir or epoch dir)")
+    p.add_argument("--artifact",
+                   help="serve from an exported multistream artifact "
+                        "(export.export_multistream_server) instead of a "
+                        "checkpoint: no model code, no restore; geometry "
+                        "(streams/block/modality) comes from the artifact")
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=7474)
     p.add_argument("--streams", type=int, default=32,
@@ -47,6 +52,8 @@ def main():
                         "(must divide --streams; per-stream ticks need no "
                         "collectives)")
     args = p.parse_args()
+    if not args.checkpoint and not args.artifact:
+        p.error("one of --checkpoint / --artifact is required")
 
     import jax
     import jax.numpy as jnp
@@ -57,6 +64,22 @@ def main():
     from avvad_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.artifact:
+        from avvad_tpu.export import load_multistream_server
+
+        streamer = load_multistream_server(args.artifact)
+        server = VADServer(streamer, host=args.host, port=args.port)
+        print(f"listening on {server.address[0]}:{server.address[1]} "
+              f"(artifact {args.artifact}: {streamer.n} stream slots, "
+              f"block={streamer.block_frames} frames)")
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            server.close()
+        return
+
     if args.modality == "audio":
         from avvad_tpu.models import AudioVAD
         from avvad_tpu.serve import MultiStreamVAD
