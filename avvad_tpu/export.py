@@ -231,6 +231,11 @@ def export_multistream_server(server, path: str,
         "nfft": getattr(server, "_nfft", None),
         "video_uint8": bool(getattr(server, "_vdtype", None) == np.uint8),
     }
+    if hasattr(server, "cfg"):  # audio/AV: the hub must cut the SAME
+        # windows the exported tick was traced for (nfft via wlen, hop)
+        import dataclasses
+
+        geometry["stft_cfg"] = dataclasses.asdict(server.cfg)
     ServingArtifact.build({"tick": (fn, example)},
                           meta={"multistream": geometry, **(meta or {})},
                           platforms=platforms).save(path)
@@ -263,6 +268,10 @@ def load_multistream_server(path: str, native: bool = True):
                   block_frames=geo["block_frames"],
                   max_backlog_blocks=geo["max_backlog_blocks"],
                   step_override=step)
+    if geo.get("stft_cfg") is not None:  # audio/AV window geometry
+        from .config import STFTConfig
+
+        common["stft_cfg"] = STFTConfig(**geo["stft_cfg"])
     if geo["kind"] == "av":
         return _serve.MultiStreamAVVAD(facts, {}, native=native,
                                        video_uint8=geo["video_uint8"],
@@ -322,17 +331,18 @@ def make_waveform_serving_fn(model, variables, *, t_frames: int,
             return (video - v_mean) / (v_std + eps)
         return video
 
-    name = model.__class__.__name__
-    if name == "AudioVAD":
+    from .models import AVVAD, AudioVAD, RawAudioVAD, VideoVAD
+
+    if isinstance(model, AudioVAD):
         def fn(wave):
             return jax.nn.sigmoid(
                 model.apply(variables, frontend(wave), train=False))
         return fn
-    if name == "RawAudioVAD":  # WaveNet frontend consumes the raw wave
+    if isinstance(model, RawAudioVAD):  # WaveNet consumes the raw wave
         def fn(wave):
             return jax.nn.sigmoid(model.apply(variables, wave, train=False))
         return fn
-    if name == "VideoVAD":
+    if isinstance(model, VideoVAD):
         def fn(video):
             kw = {}
             if video_frame_indices is not None:
@@ -340,12 +350,14 @@ def make_waveform_serving_fn(model, variables, *, t_frames: int,
             return jax.nn.sigmoid(
                 model.apply(variables, norm_video(video), train=False, **kw))
         return fn
-
-    def fn(wave, video):  # AVVAD
-        kw = {}
-        if video_frame_indices is not None:
-            kw["video_frame_indices"] = video_frame_indices
-        return jax.nn.sigmoid(
-            model.apply(variables, frontend(wave), norm_video(video),
-                        train=False, **kw))
-    return fn
+    if isinstance(model, AVVAD):
+        def fn(wave, video):
+            kw = {}
+            if video_frame_indices is not None:
+                kw["video_frame_indices"] = video_frame_indices
+            return jax.nn.sigmoid(
+                model.apply(variables, frontend(wave), norm_video(video),
+                            train=False, **kw))
+        return fn
+    raise TypeError(f"unsupported model for serving export: {type(model)!r} "
+                    "(expected AudioVAD / RawAudioVAD / VideoVAD / AVVAD)")

@@ -38,7 +38,6 @@ import numpy as np
 
 def main():
     from avvad_tpu.models import AVVAD
-    from avvad_tpu.ops.stft import log_power_frontend
 
     fs = 16000
     hop = 256
@@ -162,20 +161,16 @@ def main():
     # (ops/stft._dft_hop_blocks; exactness pinned in test_ops_stft).
     hop_dft = os.environ.get("AVVAD_BENCH_HOP_DFT") == "1"
 
-    def make_serve(mdl, use_hop_dft, vars_=None):
-        vars_ = variables if vars_ is None else vars_
+    from avvad_tpu.export import make_waveform_serving_fn
 
-        @jax.jit
-        def serve(wave, video):
-            feats = log_power_frontend(wave, fs=fs, wlen_sec=64e-3,
-                                       hop_percent=0.25, center=False,
-                                       pad_at_end=True, precision=fe_prec,
-                                       hop_dft=use_hop_dft)
-            feats = feats[:, :t, :]
-            return jax.nn.sigmoid(
-                mdl.apply(vars_, feats, video, train=False,
-                          video_frame_indices=frame_idx))
-        return serve
+    def make_serve(mdl, use_hop_dft, vars_=None):
+        # the SAME composition deployment exports (export.py) — the bench
+        # measures the program users actually ship
+        fn = make_waveform_serving_fn(
+            mdl, variables if vars_ is None else vars_, t_frames=t,
+            hop_dft=use_hop_dft, fe_precision=fe_prec,
+            video_frame_indices=frame_idx)
+        return jax.jit(fn)
 
     # Timed steady state, pipelined with a forced data dependency: each
     # iteration's input depends on the previous output, so the chain cannot
@@ -215,16 +210,19 @@ def main():
     full_iters = int(os.environ.get("AVVAD_BENCH_ITERS", "20"))
     full_reps = int(os.environ.get("AVVAD_BENCH_REPS", "3"))
 
-    # AVVAD_BENCH_MCB_HOIST=1 (explicit runs): hoisted MCB sketch fold.
-    if os.environ.get("AVVAD_BENCH_MCB_HOIST") == "1" and not auto:
+    # AVVAD_BENCH_MCB_HOIST=1: hoisted MCB sketch fold. Applies to the
+    # explicit single-config run AND (when AVVAD_BENCH_AUTO=1 is forced
+    # alongside it) to every ladder candidate.
+    mcb_hoist = os.environ.get("AVVAD_BENCH_MCB_HOIST") == "1"
+    if mcb_hoist:
         from avvad_tpu.models.mcb import fold_sketch_collection
 
-        serve = make_serve(model.clone(mcb_folded_vars=True), hop_dft,
-                           fold_sketch_collection(variables))
-    else:
-        serve = make_serve(model, hop_dft)
+        model = model.clone(mcb_folded_vars=True)
+        variables = fold_sketch_collection(variables)
+    serve = make_serve(model, hop_dft)
     if not auto:
         step_time = time_serve(serve, n_iters=full_iters, reps=full_reps)
+        winner = f"explicit:hop_dft={int(hop_dft)},lstm={lstm_quant}"
     else:
         t_start = time.perf_counter()
         # Combo first: if the compile budget truncates the ladder, the
@@ -238,6 +236,7 @@ def main():
             candidates.append(("lstm_int8", hop_dft, "int8"))
         timings = {}
         serves = {"shipped": serve}
+        first_error = None
         for name, use_hop, quant in candidates:
             if name != "shipped" and \
                     time.perf_counter() - t_start > budget_s:
@@ -255,13 +254,19 @@ def main():
                 print(f"bench auto: {name}: "
                       f"{timings[name] * 1e3:.2f} ms/step", file=sys.stderr)
             except Exception as e:  # never lose the headline to a candidate
+                first_error = first_error or e
                 print(f"bench auto: {name} failed: {e!r}", file=sys.stderr)
+        if not timings:
+            # even the shipped config failed: surface the REAL error, not
+            # an opaque empty-min crash
+            raise first_error
         winner = min(timings, key=timings.get)
         # Greedy final candidate: hoisted MCB sketch fold on top of the
         # winner (identical math — fold_sketch_collection moves the
         # constant fold matmuls out of the step; exactness pinned in
-        # tests/test_models.py::test_avvad_mcb_folded_vars_*).
-        if time.perf_counter() - t_start <= budget_s:
+        # tests/test_models.py::test_avvad_mcb_folded_vars_*). Skipped
+        # when the env flag already hoisted every candidate.
+        if not mcb_hoist and time.perf_counter() - t_start <= budget_s:
             try:
                 from avvad_tpu.models.mcb import fold_sketch_collection
 
@@ -289,6 +294,9 @@ def main():
         "value": round(rt_factor, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rt_factor / 50.0, 3),
+        # which program produced the number (quality gates per config:
+        # QUALITY.md "Combined candidates")
+        "config": winner + ("+mcb_hoist(env)" if mcb_hoist else ""),
     }))
 
 

@@ -48,6 +48,9 @@ def parse_args():
                         "fps-resample gather onto the 62.5 fps timeline")
     p.add_argument("--lstm-hidden", type=int, default=1024)
     p.add_argument("--lstm-layers", type=int, default=2)
+    p.add_argument("--y-dim", type=int, default=1,
+                   help="label dimension of the trained head (must match "
+                        "the checkpoint, e.g. 2 for 2-class IBM labels)")
     p.add_argument("--mcb", action=argparse.BooleanOptionalAction, default=True)
     p.add_argument("--mcb-hoist", action="store_true",
                    help="pre-fold MCB sketches (identical math, fewer "
@@ -61,7 +64,10 @@ def parse_args():
     p.add_argument("--platforms", default="",
                    help="comma-separated lowering platforms (e.g. cpu,tpu); "
                         "default: the current backend")
-    return p.parse_args()
+    args = p.parse_args()
+    if args.mcb_hoist and (args.modality != "av" or not args.mcb):
+        p.error("--mcb-hoist requires --modality av with --mcb")
+    return args
 
 
 def main():
@@ -75,21 +81,25 @@ def main():
     n_samples = hop * (t - 1) + 1024
 
     if args.modality == "audio":
-        model = AudioVAD(lstm_hidden_size=args.lstm_hidden,
+        model = AudioVAD(y_dim=args.y_dim,
+                         lstm_hidden_size=args.lstm_hidden,
                          lstm_layers=args.lstm_layers,
                          use_pallas_lstm=args.pallas_lstm)
         example_init = (jnp.zeros((1, 8, 513)),)
     elif args.modality == "raw-audio":
-        model = RawAudioVAD(lstm_hidden_size=args.lstm_hidden,
+        model = RawAudioVAD(y_dim=args.y_dim,
+                            lstm_hidden_size=args.lstm_hidden,
                             lstm_layers=args.lstm_layers, out_frames=t)
         example_init = (jnp.zeros((1, n_samples)),)
     elif args.modality == "video":
-        model = VideoVAD(lstm_hidden_size=args.lstm_hidden,
+        model = VideoVAD(y_dim=args.y_dim,
+                         lstm_hidden_size=args.lstm_hidden,
                          lstm_layers=args.lstm_layers,
                          use_pallas_lstm=args.pallas_lstm)
         example_init = (jnp.zeros((1, 4, 67, 67)),)
     else:
-        model = AVVAD(lstm_hidden_size=args.lstm_hidden,
+        model = AVVAD(y_dim=args.y_dim,
+                      lstm_hidden_size=args.lstm_hidden,
                       lstm_layers=args.lstm_layers, use_mcb=args.mcb,
                       use_pallas_lstm=args.pallas_lstm,
                       mcb_folded_vars=False)

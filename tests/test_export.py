@@ -284,6 +284,41 @@ def test_sharded_serving_artifact(tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def test_artifact_server_preserves_stft_geometry(tmp_path):
+    """Non-default STFT windows survive the server round trip: the hub
+    must cut the same windows the exported tick was traced for."""
+    from avvad_tpu.config import STFTConfig
+    from avvad_tpu.export import (export_multistream_server,
+                                  load_multistream_server)
+    from avvad_tpu.models import AudioVAD
+    from avvad_tpu.serve import MultiStreamVAD
+
+    cfg = STFTConfig(hop_percent=0.5)
+    model = AudioVAD(lstm_hidden_size=16, lstm_layers=1)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 513)))
+    live = MultiStreamVAD(model, variables, n_streams=2, block_frames=4,
+                          stft_cfg=cfg)
+    p = str(tmp_path / "hop50.avvadx")
+    export_multistream_server(live, p)
+    loaded = load_multistream_server(p)
+    assert loaded._hop == live._hop == 512
+    assert loaded._nfft == live._nfft == 1024
+
+    pcm = np.random.default_rng(0).standard_normal(
+        1024 + 512 * 3).astype(np.float32)
+    live.feed(0, pcm)
+    loaded.feed(0, pcm)
+    want, got = live.tick(), loaded.tick()
+    np.testing.assert_allclose(got[0], want[0], atol=1e-6)
+
+
+def test_unsupported_model_rejected():
+    from avvad_tpu.models import ResNet18
+
+    with pytest.raises(TypeError, match="unsupported model"):
+        make_waveform_serving_fn(ResNet18(), {}, t_frames=4)
+
+
 def test_format_version_guard(tmp_path):
     model, variables, t, wave, video = _tiny_av()
     fn = make_waveform_serving_fn(model, variables, t_frames=t)
