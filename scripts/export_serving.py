@@ -61,12 +61,37 @@ def parse_args():
     p.add_argument("--pallas-lstm", action="store_true",
                    help="Pallas LSTM kernel — native-platform artifacts "
                         "only (Mosaic custom calls are not portable)")
+    p.add_argument("--lstm-state-quant", choices=["none", "bf16", "int8"],
+                   default="none",
+                   help="quantized LSTM recurrence state (requires "
+                        "--pallas-lstm; quality gates in QUALITY.md)")
+    p.add_argument("--tower-int8", action="store_true",
+                   help="W8A8 video tower (video/av; the shipped serving "
+                        "config uses static mode)")
+    p.add_argument("--tower-quant-mode", default="static",
+                   choices=["dynamic", "static"],
+                   help="static bakes calibrated activation scales into "
+                        "the artifact (needs --data-root for calibration)")
+    p.add_argument("--tower-stem-int8", action="store_true")
+    p.add_argument("--data-root", default="data",
+                   help="processed-data root for static-int8 calibration")
+    p.add_argument("--dataset-size", choices=["subset", "complete"],
+                   default="subset")
+    p.add_argument("--labels", default="vad_labels")
+    p.add_argument("--calibrate-split", default="train")
+    p.add_argument("--calibrate-utts", type=int, default=8)
     p.add_argument("--platforms", default="",
                    help="comma-separated lowering platforms (e.g. cpu,tpu); "
                         "default: the current backend")
     args = p.parse_args()
     if args.mcb_hoist and (args.modality != "av" or not args.mcb):
         p.error("--mcb-hoist requires --modality av with --mcb")
+    if args.lstm_state_quant != "none" and not args.pallas_lstm:
+        p.error("--lstm-state-quant requires --pallas-lstm")
+    if args.tower_int8 and args.modality not in ("video", "av"):
+        p.error("--tower-int8 requires --modality video/av")
+    if args.tower_stem_int8 and not args.tower_int8:
+        p.error("--tower-stem-int8 requires --tower-int8")
     return args
 
 
@@ -95,13 +120,21 @@ def main():
         model = VideoVAD(y_dim=args.y_dim,
                          lstm_hidden_size=args.lstm_hidden,
                          lstm_layers=args.lstm_layers,
-                         use_pallas_lstm=args.pallas_lstm)
+                         use_pallas_lstm=args.pallas_lstm,
+                         lstm_state_quant=args.lstm_state_quant,
+                         tower_int8=args.tower_int8,
+                         tower_quant_mode=args.tower_quant_mode,
+                         tower_stem_int8=args.tower_stem_int8)
         example_init = (jnp.zeros((1, 4, 67, 67)),)
     else:
         model = AVVAD(y_dim=args.y_dim,
                       lstm_hidden_size=args.lstm_hidden,
                       lstm_layers=args.lstm_layers, use_mcb=args.mcb,
                       use_pallas_lstm=args.pallas_lstm,
+                      lstm_state_quant=args.lstm_state_quant,
+                      tower_int8=args.tower_int8,
+                      tower_quant_mode=args.tower_quant_mode,
+                      tower_stem_int8=args.tower_stem_int8,
                       mcb_folded_vars=False)
         example_init = (jnp.zeros((1, 4, 513)), jnp.zeros((1, 4, 67, 67)))
 
@@ -109,6 +142,26 @@ def main():
     state, norm_stats, epoch = restore_checkpoint(args.checkpoint, state,
                                                   with_opt=False)
     print(f"restored checkpoint epoch {epoch}")
+
+    if args.tower_int8 and args.tower_quant_mode == "static":
+        # bake calibrated activation scales into the artifact (the shipped
+        # serving config), mirroring scripts/evaluate.py's calibration
+        from avvad_tpu.data import AudioVisualSource, VideoSequenceSource
+        from avvad_tpu.evaluate import calibrate_quant_scales
+
+        processed = os.path.join(args.data_root, args.dataset_size,
+                                 "processed/")
+        if args.modality == "video":
+            cal_source = VideoSequenceSource(processed, args.calibrate_split,
+                                             args.labels)
+        else:
+            cal_source = AudioVisualSource(processed, args.calibrate_split,
+                                           args.dataset_size, args.labels)
+        state = calibrate_quant_scales(state, model, cal_source,
+                                       args.modality, norm_stats=norm_stats,
+                                       n_utts=args.calibrate_utts)
+        print(f"calibrated int8 scales on {args.calibrate_utts} "
+              f"{args.calibrate_split} utterances")
     variables = state.variables()
 
     if args.mcb_hoist and args.modality == "av" and args.mcb:
@@ -153,6 +206,10 @@ def main():
               "checkpoint": os.path.abspath(args.checkpoint),
               "epoch": int(epoch) if epoch is not None else None,
               "hop_dft": args.hop_dft, "mcb_hoist": args.mcb_hoist,
+              "tower_int8": args.tower_int8,
+              "tower_quant_mode": (args.tower_quant_mode
+                                   if args.tower_int8 else None),
+              "lstm_state_quant": args.lstm_state_quant,
               "video_fps": args.video_fps or None},
         platforms=platforms)
     artifact.save(args.out)

@@ -312,6 +312,30 @@ def test_artifact_server_preserves_stft_geometry(tmp_path):
     np.testing.assert_allclose(got[0], want[0], atol=1e-6)
 
 
+def test_int8_tower_artifact_round_trip(tmp_path):
+    """The quantized serving tower exports and replays (dynamic W8A8:
+    no calibration data needed; static differs only by baked scales)."""
+    from avvad_tpu.models import AVVAD
+
+    t, b = 4, 1
+    n = 256 * (t - 1) + 1024
+    model = AVVAD(lstm_hidden_size=16, lstm_layers=1, use_mcb=True,
+                  tower_int8=True, tower_quant_mode="dynamic")
+    wave = jax.random.normal(jax.random.PRNGKey(0), (b, n))
+    video = jax.random.normal(jax.random.PRNGKey(1), (b, t, 67, 67))
+    variables = model.init(jax.random.PRNGKey(2), jnp.zeros((1, 4, 513)),
+                           jnp.zeros((1, 4, 67, 67)))
+    fn = make_waveform_serving_fn(model, variables, t_frames=t)
+    want = np.asarray(fn(wave, video))
+
+    artifact = ServingArtifact.build({"b1": (fn, (wave, video))},
+                                     meta={"tower_int8": True})
+    p = str(tmp_path / "int8.avvadx")
+    artifact.save(p)
+    got = np.asarray(ServingArtifact.load(p).call("b1", wave, video))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 def test_unsupported_model_rejected():
     from avvad_tpu.models import ResNet18
 
