@@ -47,6 +47,9 @@ def main():
     p.add_argument("--y-dim", type=int, default=1)
     p.add_argument("--mcb", action=argparse.BooleanOptionalAction, default=True,
                    help="AV fusion: MCB (default) or concat")
+    p.add_argument("--mcb-hoist", action="store_true",
+                   help="pre-fold MCB sketches into the DFT bases "
+                        "(identical math, fewer per-tick matmuls; av only)")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard streams over a data-axis mesh of this size "
                         "(must divide --streams; per-stream ticks need no "
@@ -111,6 +114,16 @@ def main():
     print(f"serving checkpoint epoch {epoch} "
           f"(norm stats: {sorted(norm_stats) if norm_stats else None})")
 
+    variables = state.variables()
+    if args.mcb_hoist:
+        if args.modality != "av" or not args.mcb:
+            p.error("--mcb-hoist requires --modality av with --mcb")
+        from avvad_tpu.models.mcb import fold_sketch_collection
+
+        model = model.clone(mcb_folded_vars=True)
+        variables = fold_sketch_collection(variables)
+        print("MCB sketches pre-folded (hoisted fold)")
+
     mesh = None
     if args.data_parallel:
         from avvad_tpu.parallel import make_mesh
@@ -118,7 +131,7 @@ def main():
         mesh = make_mesh(n_data=args.data_parallel, n_model=1)
         print(f"serving mesh: streams sharded over {args.data_parallel} "
               "devices")
-    streamer = make_streamer(model, state.variables(), n_streams=args.streams,
+    streamer = make_streamer(model, variables, n_streams=args.streams,
                              norm_stats=norm_stats,
                              block_frames=args.block_frames, mesh=mesh)
     server = VADServer(streamer, host=args.host, port=args.port)

@@ -250,3 +250,33 @@ def test_import_reference_audio_and_video_vad():
     vv = import_reference_video_vad(vstate, vmodel.init(jax.random.PRNGKey(1), v))
     y = vmodel.apply(vv, v)
     assert y.shape == (1, 2, 1) and np.isfinite(np.asarray(y)).all()
+
+
+def test_env_platforms_honored_in_subprocess():
+    """Importing avvad_tpu restores JAX_PLATFORMS env semantics that the
+    ambient TPU-tunnel sitecustomize overrides — so JAX_PLATFORMS=cpu
+    scripts actually run on CPU (and cannot hang on a dead tunnel)."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import avvad_tpu, jax; print(jax.config.jax_platforms)"],
+        capture_output=True, text=True, env=env, timeout=120, cwd=cwd)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert r.stdout.strip().splitlines()[-1] == "cpu"
+
+    # ...but an explicit in-process config choice made BEFORE importing
+    # the package always beats the ambient env (the hook only undoes the
+    # sitecustomize pin, never a deliberate jax.config.update)
+    env = dict(os.environ, JAX_PLATFORMS="axon")
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu'); "
+         "import avvad_tpu; print(jax.config.jax_platforms)"],
+        capture_output=True, text=True, env=env, timeout=120, cwd=cwd)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert r.stdout.strip().splitlines()[-1] == "cpu"
