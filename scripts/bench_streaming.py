@@ -67,7 +67,8 @@ def run(server: MultiStreamVAD, n_ticks: int, chunk: np.ndarray,
 
 
 def make_av_server(n_streams: int, block_frames: int, int8: bool = False,
-                   u8_wire: bool = False, pallas_tower: bool = False):
+                   u8_wire: bool = False, pallas_tower: bool = False,
+                   mcb_hoist: bool = False):
     from avvad_tpu.models import AVVAD
     from avvad_tpu.serve import MultiStreamAVVAD
 
@@ -91,6 +92,13 @@ def make_av_server(n_streams: int, block_frames: int, int8: bool = False,
             .astype(np.float32))
         cal = model.clone(tower_quant_mode="calibrate", tower_pallas=False)
         variables = calibrate(cal, variables, [(cal_a, cal_v)], train=False)
+    if mcb_hoist:
+        # pre-fold the MCB sketches (exact; hoists the per-tick constant
+        # fold matmuls — see models/mcb.fold_sketch_collection)
+        from avvad_tpu.models.mcb import fold_sketch_collection
+
+        model = model.clone(mcb_folded_vars=True)
+        variables = fold_sketch_collection(variables)
     return MultiStreamAVVAD(model, variables, n_streams,
                             block_frames=block_frames, video_uint8=u8_wire)
 
@@ -129,6 +137,8 @@ def main():
     ap.add_argument("--av-pallas", action="store_true",
                     help="AV tick with the fused Pallas int8 block kernels "
                          "(implies --av-int8)")
+    ap.add_argument("--av-mcb-hoist", action="store_true",
+                    help="AV tick with pre-folded MCB sketches (exact)")
     args = ap.parse_args()
     if args.av_pallas:
         args.av_int8 = True
@@ -171,13 +181,15 @@ def main():
             0, 255, size=(args.block_frames, 67, 67)).astype(np.float32)
         av = make_av_server(args.streams, args.block_frames,
                             int8=args.av_int8, u8_wire=args.av_u8,
-                            pallas_tower=args.av_pallas)
+                            pallas_tower=args.av_pallas,
+                            mcb_hoist=args.av_mcb_hoist)
         dt = run_av(av, args.ticks, chunk, vchunk)
         agg = args.streams * block_sec / dt
         budget = block_sec / dt
         tag = "".join([" int8" if args.av_int8 else "",
                        " pallas" if args.av_pallas else "",
-                       " u8" if args.av_u8 else ""]) or " f32"
+                       " u8" if args.av_u8 else "",
+                       " mcb-hoist" if args.av_mcb_hoist else ""]) or " f32"
         print(f"tick (AV{tag}): {dt * 1e3:6.1f} ms | {args.streams} streams "
               f"x {block_sec * 1e3:.0f} ms blocks -> {agg:6.1f}x aggregate "
               f"real time | latency budget headroom {budget:4.1f}x")

@@ -159,6 +159,36 @@ def test_streaming_step_artifact_matches_live_streamer(tmp_path):
     np.testing.assert_allclose(replay, live[: len(replay)], atol=1e-6)
 
 
+def test_streaming_video_step_fn_replay(tmp_path):
+    """Video-only streaming step exports and replays block-for-block."""
+    from avvad_tpu.export import make_streaming_step_fn
+    from avvad_tpu.models import VideoVAD
+    from avvad_tpu.serve import StreamingVideoVAD
+
+    model = VideoVAD(lstm_hidden_size=16, lstm_layers=1)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 67, 67)))
+    streamer = StreamingVideoVAD(model, variables, block_frames=4)
+    frames = np.random.default_rng(0).uniform(
+        0, 255, size=(8, 67, 67)).astype(np.float32)
+    live = streamer.feed(frames)
+    assert live.shape == (8,)
+
+    fn, example = make_streaming_step_fn(streamer)
+    artifact = ServingArtifact.build({"step": (fn, example)})
+    p = str(tmp_path / "vstream.avvadx")
+    artifact.save(p)
+    loaded = ServingArtifact.load(p)
+    h = model.lstm_hidden_size
+    carries = [(jnp.zeros((1, h)), jnp.zeros((1, h)))]
+    outs = []
+    for b in range(2):
+        probs, carries = loaded.call("step",
+                                     jnp.asarray(frames[b * 4:(b + 1) * 4]),
+                                     carries)
+        outs.append(np.asarray(probs))
+    np.testing.assert_allclose(np.concatenate(outs), live, atol=1e-6)
+
+
 def test_streaming_av_step_fn_shapes():
     """AV streaming step fn exports with the uint8 wire dtype preserved."""
     from avvad_tpu.export import make_streaming_step_fn
