@@ -165,6 +165,11 @@ def make_multistream_tick_fn(server) -> tuple[Callable, tuple]:
     server loop (host-side buffering + block assembly + this tick)
     reproduces serve.py's multi-stream semantics. Carries are explicit
     inputs/outputs; clear a disconnected stream's row to zero host-side.
+
+    Mesh-sharded servers export a MULTI-CHIP tick: every argument's
+    stream axis carries the server's `data`-axis sharding (ticks stay
+    collective-free), so the recorded SPMD module replays sharded on a
+    same-size mesh.
     """
     import jax.numpy as jnp
     import numpy as np
@@ -179,27 +184,39 @@ def make_multistream_tick_fn(server) -> tuple[Callable, tuple]:
                for _ in range(server.model.lstm_layers)]
     peaks = jnp.ones((n,), jnp.float32)
     active = jnp.ones((n,), jnp.float32)
+    row = server._stream_sharding  # None on a single device
+
+    def _finish(fn, example):
+        if row is None:
+            return fn, example
+        shardings = jax.tree_util.tree_map(lambda _: row, example)
+        example = jax.device_put(example, shardings)
+        return jax.jit(fn, in_shardings=shardings,
+                       out_shardings=(row, [(row, row)] * len(carries))), \
+            example
 
     if isinstance(server, _serve.MultiStreamAVVAD):
         vdtype = jnp.uint8 if server._vdtype == np.uint8 else jnp.float32
 
         def fn(frames, video, peaks, active, carries):
             return step(variables, frames, video, peaks, active, carries)
-        return fn, (jnp.zeros((n, bf, server._nfft), jnp.float32),
-                    jnp.zeros((n, bf, 67, 67), vdtype),
-                    peaks, active, carries)
-    if isinstance(server, _serve.MultiStreamVideoVAD):
+        example = (jnp.zeros((n, bf, server._nfft), jnp.float32),
+                   jnp.zeros((n, bf, 67, 67), vdtype),
+                   peaks, active, carries)
+    elif isinstance(server, _serve.MultiStreamVideoVAD):
         vdtype = jnp.uint8 if server._vdtype == np.uint8 else jnp.float32
 
         def fn(video, active, carries):
             return step(variables, video, active, carries)
-        return fn, (jnp.zeros((n, bf, 67, 67), vdtype), active, carries)
-    if isinstance(server, _serve.MultiStreamVAD):
+        example = (jnp.zeros((n, bf, 67, 67), vdtype), active, carries)
+    elif isinstance(server, _serve.MultiStreamVAD):
         def fn(frames, peaks, active, carries):
             return step(variables, frames, peaks, active, carries)
-        return fn, (jnp.zeros((n, bf, server._nfft), jnp.float32),
-                    peaks, active, carries)
-    raise TypeError(f"not a multi-stream server: {type(server)!r}")
+        example = (jnp.zeros((n, bf, server._nfft), jnp.float32),
+                   peaks, active, carries)
+    else:
+        raise TypeError(f"not a multi-stream server: {type(server)!r}")
+    return _finish(fn, example)
 
 
 def export_multistream_server(server, path: str,
@@ -230,6 +247,8 @@ def export_multistream_server(server, path: str,
         "lstm_layers": server.model.lstm_layers,
         "nfft": getattr(server, "_nfft", None),
         "video_uint8": bool(getattr(server, "_vdtype", None) == np.uint8),
+        "mesh_data": (None if server._stream_sharding is None
+                      else server._stream_sharding.mesh.shape["data"]),
     }
     if hasattr(server, "cfg"):  # audio/AV: the hub must cut the SAME
         # windows the exported tick was traced for (nfft via wlen, hop)
@@ -241,14 +260,16 @@ def export_multistream_server(server, path: str,
                           platforms=platforms).save(path)
 
 
-def load_multistream_server(path: str, native: bool = True):
+def load_multistream_server(path: str, native: bool = True, mesh=None):
     """Rebuild a multi-stream server from an artifact saved by
     ``export_multistream_server`` — model-code-free deployment.
 
     The returned object is a real MultiStream{VAD,VideoVAD,AVVAD}
     (feed/tick/reset_stream/VADServer-compatible); its device step is the
     artifact's tick program, so per-stream outputs match the original
-    server exactly.
+    server exactly. An artifact exported from a mesh-sharded server
+    replays sharded: pass a mesh with a matching `data` axis (default:
+    one is built over the first ``mesh_data`` local devices).
     """
     from types import SimpleNamespace
 
@@ -261,13 +282,22 @@ def load_multistream_server(path: str, native: bool = True):
     facts = SimpleNamespace(lstm_hidden_size=geo["lstm_hidden"],
                             lstm_layers=geo["lstm_layers"])
 
+    if geo.get("mesh_data") and mesh is None:
+        from .parallel import make_mesh
+
+        mesh = make_mesh(n_data=geo["mesh_data"], n_model=1)
+    if mesh is not None and geo.get("mesh_data") != mesh.shape.get("data"):
+        raise ValueError(
+            f"{path}: exported for data axis {geo.get('mesh_data')}, "
+            f"got mesh data axis {mesh.shape.get('data')}")
+
     def step(_variables, *args):
         return artifact.call("tick", *args)
 
     common = dict(n_streams=geo["n_streams"],
                   block_frames=geo["block_frames"],
                   max_backlog_blocks=geo["max_backlog_blocks"],
-                  step_override=step)
+                  step_override=step, mesh=mesh)
     if geo.get("stft_cfg") is not None:  # audio/AV window geometry
         from .config import STFTConfig
 

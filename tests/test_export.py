@@ -284,6 +284,42 @@ def test_artifact_server_round_trip(tmp_path):
     loaded.reset_stream(0)
 
 
+def test_mesh_sharded_server_artifact(tmp_path):
+    """A mesh-sharded multi-stream server round-trips through an
+    artifact: the exported SPMD tick replays with stream rows sharded
+    over the data axis, matching the unsharded live server."""
+    from avvad_tpu.export import (export_multistream_server,
+                                  load_multistream_server)
+    from avvad_tpu.models import AudioVAD
+    from avvad_tpu.parallel import make_mesh
+    from avvad_tpu.serve import MultiStreamVAD
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    model = AudioVAD(lstm_hidden_size=16, lstm_layers=1)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 513)))
+    mesh = make_mesh(n_data=8, n_model=1)
+    sharded = MultiStreamVAD(model, variables, n_streams=8, block_frames=4,
+                             mesh=mesh)
+    plain = MultiStreamVAD(model, variables, n_streams=8, block_frames=4)
+
+    p = str(tmp_path / "mesh_server.avvadx")
+    export_multistream_server(sharded, p)
+    loaded = load_multistream_server(p)
+    assert loaded._stream_sharding is not None
+
+    rng = np.random.default_rng(0)
+    pcm = [rng.standard_normal(1024 + 256 * 3).astype(np.float32)
+           for _ in range(8)]
+    for i in range(8):
+        plain.feed(i, pcm[i])
+        loaded.feed(i, pcm[i])
+    want, got = plain.tick(), loaded.tick()
+    assert set(want) == set(got)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], atol=1e-5)
+
+
 def test_sharded_serving_artifact(tmp_path):
     """Multi-chip export: a data-sharded serving program round-trips and
     replays on the virtual 8-device mesh with per-device batch rows."""
