@@ -44,7 +44,7 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
             build()
         lib = ctypes.CDLL(_LIB_PATH)
         try:
-            lib.hub_assemble_gated  # newest symbol: probe for staleness
+            lib.hub_assemble_span_gated  # newest symbol: probe for staleness
         except AttributeError:
             if not auto_build:
                 return None
@@ -58,7 +58,7 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
             tmp.close()
             shutil.copy(_LIB_PATH, tmp.name)
             lib = ctypes.CDLL(tmp.name)
-            lib.hub_assemble_gated
+            lib.hub_assemble_span_gated
             # the dlopen mapping survives unlink on Linux; remove the temp
             # copy at exit so the staleness probe doesn't leak one .so per
             # process
@@ -104,6 +104,8 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
     lib.hub_assemble.argtypes = [ctypes.c_void_p, fp, fp, fp]
     lib.hub_assemble_gated.restype = ctypes.c_int32
     lib.hub_assemble_gated.argtypes = [ctypes.c_void_p, fp, fp, fp, fp]
+    lib.hub_assemble_span_gated.restype = ctypes.c_int32
+    lib.hub_assemble_span_gated.argtypes = [ctypes.c_void_p, fp, fp, fp, fp]
     _lib = lib
     return lib
 
@@ -180,6 +182,8 @@ class StreamHub:
         self.block_frames = block_frames
         self._lib = None if force_python else load()
         self._out = np.zeros((n_streams, block_frames, nfft), np.float32)
+        self.span = (block_frames - 1) * hop + nfft
+        self._out_span = None  # (N, span), allocated on first span assemble
         self._peaks = np.zeros(n_streams, np.float32)
         self._active = np.zeros(n_streams, np.float32)
         if self._lib is not None:
@@ -241,29 +245,35 @@ class StreamHub:
             return int(self._lib.hub_frames_ready(self._h, stream))
         return self._ready_py(stream)
 
-    def assemble(self, gate: Optional[np.ndarray] = None):
-        """-> (blocks (N, bf, nfft), peaks (N,), active (N,), n_active).
+    def assemble(self, gate: Optional[np.ndarray] = None,
+                 span: bool = False):
+        """-> (blocks, peaks (N,), active (N,), n_active).
 
-        `gate` ((N,) float, optional): streams with gate == 0 are held
-        back even when audio-ready (their samples stay buffered) — an
-        audio-visual server gates on the video side having a full block.
-        The returned arrays are reused across calls — consume (device_put)
-        before the next assemble."""
+        `blocks` is (N, bf, nfft) materialized frames, or — with
+        `span=True` — the (N, (bf-1)*hop + nfft) CONTIGUOUS sample span of
+        the block (~nfft/hop smaller; framing then happens on device, see
+        serve.py span_wire). `gate` ((N,) float, optional): streams with
+        gate == 0 are held back even when audio-ready (their samples stay
+        buffered) — an audio-visual server gates on the video side having
+        a full block. The returned arrays are reused across calls —
+        consume (device_put) before the next assemble."""
+        if span and self._out_span is None:
+            self._out_span = np.zeros((self.n, self.span), np.float32)
+        out = self._out_span if span else self._out
         if self._lib is not None:
             fp = ctypes.POINTER(ctypes.c_float)
-            if gate is None:
-                n_active = self._lib.hub_assemble(
-                    self._h, self._out.ctypes.data_as(fp),
-                    self._peaks.ctypes.data_as(fp),
-                    self._active.ctypes.data_as(fp))
-            else:
+            assemble_gated = (self._lib.hub_assemble_span_gated if span
+                              else self._lib.hub_assemble_gated)
+            if gate is not None:
                 gate = np.ascontiguousarray(gate, dtype=np.float32)
-                n_active = self._lib.hub_assemble_gated(
-                    self._h, gate.ctypes.data_as(fp),
-                    self._out.ctypes.data_as(fp),
-                    self._peaks.ctypes.data_as(fp),
-                    self._active.ctypes.data_as(fp))
-            return self._out, self._peaks, self._active, int(n_active)
+                gate_p = gate.ctypes.data_as(fp)
+            else:
+                gate_p = ctypes.cast(None, fp)
+            n_active = assemble_gated(
+                self._h, gate_p, out.ctypes.data_as(fp),
+                self._peaks.ctypes.data_as(fp),
+                self._active.ctypes.data_as(fp))
+            return out, self._peaks, self._active, int(n_active)
         n_active = 0
         bf, nfft, hop = self.block_frames, self.nfft, self.hop
         for i in range(self.n):
@@ -272,9 +282,13 @@ class StreamHub:
                 self._active[i] = 0.0
                 continue
             buf = self._bufs[i]
-            idx = (np.arange(bf)[:, None] * hop + np.arange(nfft)[None, :])
-            self._out[i] = buf[idx]
+            if span:
+                out[i] = buf[: self.span]
+            else:
+                idx = (np.arange(bf)[:, None] * hop
+                       + np.arange(nfft)[None, :])
+                out[i] = buf[idx]
             self._bufs[i] = buf[bf * hop:]
             self._active[i] = 1.0
             n_active += 1
-        return self._out, self._peaks, self._active, n_active
+        return out, self._peaks, self._active, n_active

@@ -27,7 +27,7 @@ import numpy as np
 
 from .config import STFTConfig
 from .models import AudioVAD
-from .ops.stft import _windowed_dft_bases
+from .ops.stft import _dft_hop_blocks, _windowed_dft_bases, frame_signal
 
 
 def _norm_stat(norm_stats: Optional[dict], key: str):
@@ -74,6 +74,31 @@ def _put_streams(x, sharding):
     """Host array -> device, stream-sharded when a serving mesh is set."""
     x = jnp.asarray(x)
     return x if sharding is None else jax.device_put(x, sharding)
+
+
+def _span_feats(spans, peaks, nfft, hop, n_frames, cos_b, sin_b, eps,
+                mean, std, hop_dft):
+    """Streaming frontend for the SPAN wire: `spans` is (N, span) raw
+    contiguous samples — the un-inflated signal of a frame block
+    (span = (n_frames-1)*hop + nfft), ~nfft/hop smaller on the
+    host->device link than the materialized (N, n_frames, nfft) windows
+    of _log_power_feats. Default path frames on device (reshape/concat,
+    ops/stft.frame_signal) then runs the identical windowed-DFT math —
+    bit-exact vs the frames wire. `hop_dft` skips framing entirely: one
+    K=hop DFT per hop block + exact radix assembly (ops/stft.
+    _dft_hop_blocks), ~nfft/hop fewer matmul FLOPs at fp32-rounding-level
+    agreement."""
+    if hop_dft:
+        hp = jax.lax.Precision.HIGHEST
+        x = spans / jnp.maximum(peaks[..., None], 1e-12)
+        re, im = _dft_hop_blocks(x, nfft, hop, n_frames, hp)
+        feats = jnp.log(re * re + im * im + eps)
+        if mean is not None:
+            feats = (feats - mean) / (std + eps)
+        return feats
+    frames = frame_signal(spans, nfft, hop)  # (N, n_frames, nfft)
+    return _log_power_feats(frames, peaks[..., None, None], cos_b, sin_b,
+                            eps, mean, std)
 
 
 def _log_power_feats(frames, peaks, cos_b, sin_b, eps, mean, std):
@@ -257,11 +282,23 @@ class MultiStreamVAD(_MultiStreamBase):
                  native: bool = True,
                  max_backlog_blocks: int = 32,
                  mesh=None,
-                 step_override=None):
+                 step_override=None,
+                 span_wire: bool = False,
+                 hop_dft: bool = False):
         # step_override: replace the jitted model tick with an external
         # step of the same signature — e.g. a loaded serving-artifact
         # entry (export.load_multistream_server); `model` then only needs
         # lstm_hidden_size/lstm_layers attributes and `variables` may be {}
+        # span_wire: ship each tick's raw (N, (bf-1)*hop + nfft) sample
+        # span instead of materialized (N, bf, nfft) windows (~nfft/hop
+        # smaller host->device payload; framing moves on-device,
+        # bit-exact). hop_dft (requires span_wire): hop-block DFT frontend
+        # on the span — no framing at all, ~nfft/hop fewer matmul FLOPs.
+        if hop_dft and not span_wire:
+            raise ValueError("hop_dft frontend requires span_wire=True "
+                             "(it consumes the contiguous sample span)")
+        self.span_wire = span_wire
+        self.hop_dft = hop_dft
         self._init_streams(model, variables, n_streams, block_frames,
                            max_backlog_blocks, mesh)
         self.cfg = stft_cfg
@@ -290,12 +327,19 @@ class MultiStreamVAD(_MultiStreamBase):
         eps = self.cfg.eps
         cos_b, sin_b, mean, std = self._cos, self._sin, self._mean, self._std
         mask_carries = self._mask_carries
+        nfft, hop, bf = self._nfft, self._hop, self.block_frames
+        span_wire, hop_dft = self.span_wire, self.hop_dft
 
         @jax.jit
         def step(variables, frames, peaks, active, carries):
-            # frames (N, block, nfft); peaks (N,); active (N,) float
-            feats = _log_power_feats(frames, peaks[:, None, None],
-                                     cos_b, sin_b, eps, mean, std)
+            # frames (N, block, nfft) — or the raw (N, span) sample span
+            # on the span wire; peaks (N,); active (N,) float
+            if span_wire:
+                feats = _span_feats(frames, peaks, nfft, hop, bf, cos_b,
+                                    sin_b, eps, mean, std, hop_dft)
+            else:
+                feats = _log_power_feats(frames, peaks[:, None, None],
+                                         cos_b, sin_b, eps, mean, std)
             logits, new_carries = model.apply(variables, feats, carries,
                                               method=model.streaming_head)
             masked = mask_carries(active, new_carries, carries)
@@ -310,8 +354,9 @@ class MultiStreamVAD(_MultiStreamBase):
         the step runs on zero inputs with active=0, so every stream's
         carries are mask-restored."""
         sh = self._stream_sharding
-        frames = _put_streams(
-            jnp.zeros((self.n, self.block_frames, self._nfft)), sh)
+        shape = ((self.n, self._hub.span) if self.span_wire
+                 else (self.n, self.block_frames, self._nfft))
+        frames = _put_streams(jnp.zeros(shape), sh)
         probs, _ = self._step(self.variables, frames,
                               _put_streams(jnp.ones(self.n), sh),
                               _put_streams(jnp.zeros(self.n), sh),
@@ -355,7 +400,8 @@ class MultiStreamVAD(_MultiStreamBase):
         device pipeline stays full across ticks (fetching each tick costs
         ~29 ms of dead sync time on this backend); convert results with
         np.asarray whenever convenient."""
-        blocks, peaks, active, n_active = self._hub.assemble()
+        blocks, peaks, active, n_active = \
+            self._hub.assemble(span=self.span_wire)
         if n_active == 0:
             return {}
         sh = self._stream_sharding
@@ -505,8 +551,17 @@ class MultiStreamAVVAD(_MultiStreamBase):
                  max_backlog_blocks: int = 32,
                  video_uint8: bool = False,
                  mesh=None,
-                 step_override=None):
+                 step_override=None,
+                 span_wire: bool = False,
+                 hop_dft: bool = False):
         # step_override: see MultiStreamVAD (artifact-driven serving)
+        # span_wire / hop_dft: see MultiStreamVAD (raw sample span on the
+        # audio wire; hop-block DFT frontend on the span)
+        if hop_dft and not span_wire:
+            raise ValueError("hop_dft frontend requires span_wire=True "
+                             "(it consumes the contiguous sample span)")
+        self.span_wire = span_wire
+        self.hop_dft = hop_dft
         self._init_streams(model, variables, n_streams, block_frames,
                            max_backlog_blocks, mesh)
         self.cfg = stft_cfg
@@ -543,12 +598,19 @@ class MultiStreamAVVAD(_MultiStreamBase):
         a_mean, a_std = self._a_mean, self._a_std
         v_mean, v_std = self._v_mean, self._v_std
         mask_carries = self._mask_carries
+        nfft, hop, bf = self._nfft, self._hop, self.block_frames
+        span_wire, hop_dft = self.span_wire, self.hop_dft
 
         @jax.jit
         def step(variables, frames, video, peaks, active, carries):
-            # frames (N, bf, nfft); video (N, bf, 67, 67); peaks/active (N,)
-            feats = _log_power_feats(frames, peaks[:, None, None],
-                                     cos_b, sin_b, eps, a_mean, a_std)
+            # frames (N, bf, nfft) — or the raw (N, span) sample span on
+            # the span wire; video (N, bf, 67, 67); peaks/active (N,)
+            if span_wire:
+                feats = _span_feats(frames, peaks, nfft, hop, bf, cos_b,
+                                    sin_b, eps, a_mean, a_std, hop_dft)
+            else:
+                feats = _log_power_feats(frames, peaks[:, None, None],
+                                         cos_b, sin_b, eps, a_mean, a_std)
             # uint8 wire: dequantize on device (the transfer stays 1/4 size)
             v = video.astype(jnp.float32)
             if v_mean is not None:
@@ -565,8 +627,9 @@ class MultiStreamAVVAD(_MultiStreamBase):
         """Compile the tick step before serving traffic (see
         MultiStreamVAD.warmup). State is untouched (active=0)."""
         sh = self._stream_sharding
-        frames = _put_streams(
-            jnp.zeros((self.n, self.block_frames, self._nfft)), sh)
+        shape = ((self.n, self._hub.span) if self.span_wire
+                 else (self.n, self.block_frames, self._nfft))
+        frames = _put_streams(jnp.zeros(shape), sh)
         video = _put_streams(jnp.zeros(
             (self.n, self.block_frames, 67, 67), dtype=self._vdtype), sh)
         probs, _ = self._step(self.variables, frames, video,
@@ -623,7 +686,8 @@ class MultiStreamAVVAD(_MultiStreamBase):
         bf = self.block_frames
         gate = np.fromiter((1.0 if len(v) >= bf else 0.0
                             for v in self._vbufs), np.float32, self.n)
-        blocks, peaks, active, n_active = self._hub.assemble(gate=gate)
+        blocks, peaks, active, n_active = \
+            self._hub.assemble(gate=gate, span=self.span_wire)
         if n_active == 0:
             return {}
         for i in range(self.n):

@@ -332,4 +332,36 @@ int32_t hub_assemble(void* hub, float* out, float* peaks_out,
   return hub_assemble_gated(hub, nullptr, out, peaks_out, active_out);
 }
 
+// Span-wire variant of hub_assemble_gated: instead of materializing the
+// block's frames (block_frames * nfft samples, a ~nfft/hop inflation of
+// the underlying signal at 75% overlap), write the block's CONTIGUOUS
+// sample span ((block_frames - 1) * hop + nfft samples) per active
+// stream — one memcpy per stream, and a ~3.4x smaller host->device
+// payload on a transfer-bound serving tick. Framing moves on-device
+// (ops/stft.frame_signal reshape/concat, or none at all with the
+// hop-block DFT frontend). out is laid out (n_streams, span); same
+// gate / peak / active / consume semantics as hub_assemble_gated.
+int32_t hub_assemble_span_gated(void* hub, const float* gate, float* out,
+                                float* peaks_out, float* active_out) {
+  auto* h = (StreamHub*)hub;
+  if (!h) return AVVAD_ERR_BADARG;
+  const int64_t bf = h->block_frames;
+  const int64_t span = (bf - 1) * h->hop + h->nfft;
+  int32_t n_active = 0;
+  for (int32_t s = 0; s < h->n_streams; ++s) {
+    StreamBuf& b = h->bufs[(size_t)s];
+    peaks_out[s] = b.peak;
+    if ((gate && gate[s] == 0.0f) || frames_ready(h, b) < bf) {
+      active_out[s] = 0.0f;
+      continue;
+    }
+    std::memcpy(out + (int64_t)s * span, b.data(),
+                (size_t)span * sizeof(float));
+    b.consume((size_t)(bf * h->hop));
+    active_out[s] = 1.0f;
+    ++n_active;
+  }
+  return n_active;
+}
+
 }  // extern "C"

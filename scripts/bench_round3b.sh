@@ -25,6 +25,13 @@ AVVAD_BENCH_AUTO_BUDGET_S=3000 run timeout 4800 python bench.py
 # bf16 LSTM state is the one gated candidate outside the ladder
 AVVAD_BENCH_LSTM_QUANT=bf16 run timeout 3600 python bench.py
 
+# 2b) streaming tick: span audio wire (+ hop-DFT frontend) on top of the
+#     shipped uint8+int8 config — bit-exact wire change, payload
+#     4.4 -> 2.9 MB/tick at 32 streams (BENCH_NOTES "span audio wire")
+run timeout 1800 python scripts/bench_streaming.py --av-int8 --av-u8
+run timeout 1800 python scripts/bench_streaming.py --av-int8 --av-u8 --audio-span
+run timeout 1800 python scripts/bench_streaming.py --av-int8 --av-u8 --hop-dft
+
 # 3) record the candidate table in BENCH_NOTES.md (the ladder already
 #    ships the winner as the headline); re-run the committed quality
 #    gates on hardware only if numerics differ from the CPU gates (they

@@ -34,13 +34,15 @@ from avvad_tpu.models import AudioVAD
 from avvad_tpu.serve import MultiStreamVAD
 
 
-def make_server(n_streams: int, block_frames: int, native: bool):
+def make_server(n_streams: int, block_frames: int, native: bool,
+                span_wire: bool = False, hop_dft: bool = False):
     model = AudioVAD(y_dim=1, lstm_hidden_size=1024, lstm_layers=2,
                      use_pallas_lstm=True)
     feats = jnp.zeros((n_streams, block_frames, 513), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), feats)
     return MultiStreamVAD(model, variables, n_streams,
-                          block_frames=block_frames, native=native)
+                          block_frames=block_frames, native=native,
+                          span_wire=span_wire, hop_dft=hop_dft)
 
 
 def run(server: MultiStreamVAD, n_ticks: int, chunk: np.ndarray,
@@ -68,7 +70,8 @@ def run(server: MultiStreamVAD, n_ticks: int, chunk: np.ndarray,
 
 def make_av_server(n_streams: int, block_frames: int, int8: bool = False,
                    u8_wire: bool = False, pallas_tower: bool = False,
-                   mcb_hoist: bool = False):
+                   mcb_hoist: bool = False, span_wire: bool = False,
+                   hop_dft: bool = False):
     from avvad_tpu.models import AVVAD
     from avvad_tpu.serve import MultiStreamAVVAD
 
@@ -100,7 +103,8 @@ def make_av_server(n_streams: int, block_frames: int, int8: bool = False,
         model = model.clone(mcb_folded_vars=True)
         variables = fold_sketch_collection(variables)
     return MultiStreamAVVAD(model, variables, n_streams,
-                            block_frames=block_frames, video_uint8=u8_wire)
+                            block_frames=block_frames, video_uint8=u8_wire,
+                            span_wire=span_wire, hop_dft=hop_dft)
 
 
 def run_av(server, n_ticks: int, chunk: np.ndarray,
@@ -139,7 +143,17 @@ def main():
                          "(implies --av-int8)")
     ap.add_argument("--av-mcb-hoist", action="store_true",
                     help="AV tick with pre-folded MCB sketches (exact)")
+    ap.add_argument("--audio-span", action="store_true",
+                    help="span audio wire: ship the raw contiguous sample "
+                         "span per tick (~3.4x less audio payload; framing "
+                         "on device, bit-exact) — applies to the audio tick "
+                         "and any AV tick")
+    ap.add_argument("--hop-dft", action="store_true",
+                    help="hop-block DFT frontend on the span (implies "
+                         "--audio-span; ~4x fewer frontend matmul FLOPs)")
     args = ap.parse_args()
+    if args.hop_dft:
+        args.audio_span = True
     if args.av_pallas:
         args.av_int8 = True
     if args.av_int8 or args.av_u8:
@@ -166,15 +180,18 @@ def main():
         dt = (time.perf_counter() - t0) / reps
         print(f"host assembly ({kind:6s}): {dt * 1e3:7.2f} ms/tick")
 
-    srv = make_server(args.streams, args.block_frames, native=True)
+    srv = make_server(args.streams, args.block_frames, native=True,
+                      span_wire=args.audio_span, hop_dft=args.hop_dft)
+    wire = "".join([" span" if args.audio_span else "",
+                    " hop-dft" if args.hop_dft else ""])
     for mode, fetch in (("sync", True), ("lazy", False)):
         srv.reset()
         dt = run(srv, args.ticks, chunk, fetch)
         agg = args.streams * block_sec / dt
         budget = block_sec / dt
-        print(f"tick ({mode}): {dt * 1e3:6.1f} ms | {args.streams} streams x "
-              f"{block_sec * 1e3:.0f} ms blocks -> {agg:6.1f}x aggregate "
-              f"real time | latency budget headroom {budget:4.1f}x")
+        print(f"tick ({mode}{wire}): {dt * 1e3:6.1f} ms | {args.streams} "
+              f"streams x {block_sec * 1e3:.0f} ms blocks -> {agg:6.1f}x "
+              f"aggregate real time | latency budget headroom {budget:4.1f}x")
 
     if args.av:
         vchunk = rng.uniform(
@@ -182,14 +199,16 @@ def main():
         av = make_av_server(args.streams, args.block_frames,
                             int8=args.av_int8, u8_wire=args.av_u8,
                             pallas_tower=args.av_pallas,
-                            mcb_hoist=args.av_mcb_hoist)
+                            mcb_hoist=args.av_mcb_hoist,
+                            span_wire=args.audio_span, hop_dft=args.hop_dft)
         dt = run_av(av, args.ticks, chunk, vchunk)
         agg = args.streams * block_sec / dt
         budget = block_sec / dt
         tag = "".join([" int8" if args.av_int8 else "",
                        " pallas" if args.av_pallas else "",
                        " u8" if args.av_u8 else "",
-                       " mcb-hoist" if args.av_mcb_hoist else ""]) or " f32"
+                       " mcb-hoist" if args.av_mcb_hoist else "",
+                       wire]) or " f32"
         print(f"tick (AV{tag}): {dt * 1e3:6.1f} ms | {args.streams} streams "
               f"x {block_sec * 1e3:.0f} ms blocks -> {agg:6.1f}x aggregate "
               f"real time | latency budget headroom {budget:4.1f}x")

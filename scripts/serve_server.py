@@ -50,6 +50,13 @@ def main():
     p.add_argument("--mcb-hoist", action="store_true",
                    help="pre-fold MCB sketches into the DFT bases "
                         "(identical math, fewer per-tick matmuls; av only)")
+    p.add_argument("--audio-span", action="store_true",
+                   help="span audio wire: ship each tick's raw contiguous "
+                        "sample span to the device (~3.4x less audio "
+                        "payload; on-device framing, bit-exact; audio/av)")
+    p.add_argument("--hop-dft", action="store_true",
+                   help="hop-block DFT frontend on the span (implies "
+                        "--audio-span; ~4x fewer frontend matmul FLOPs)")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard streams over a data-axis mesh of this size "
                         "(must divide --streams; per-stream ticks need no "
@@ -57,6 +64,10 @@ def main():
     args = p.parse_args()
     if not args.checkpoint and not args.artifact:
         p.error("one of --checkpoint / --artifact is required")
+    if args.hop_dft:
+        args.audio_span = True
+    if args.audio_span and args.modality == "video":
+        p.error("--audio-span applies to audio/av modalities only")
 
     import jax
     import jax.numpy as jnp
@@ -131,9 +142,12 @@ def main():
         mesh = make_mesh(n_data=args.data_parallel, n_model=1)
         print(f"serving mesh: streams sharded over {args.data_parallel} "
               "devices")
+    wire_kw = ({"span_wire": args.audio_span, "hop_dft": args.hop_dft}
+               if args.modality != "video" else {})
     streamer = make_streamer(model, variables, n_streams=args.streams,
                              norm_stats=norm_stats,
-                             block_frames=args.block_frames, mesh=mesh)
+                             block_frames=args.block_frames, mesh=mesh,
+                             **wire_kw)
     server = VADServer(streamer, host=args.host, port=args.port)
     print(f"listening on {server.address[0]}:{server.address[1]} "
           f"({args.modality}, {args.streams} stream slots, "

@@ -357,3 +357,142 @@ def test_multistream_video_matches_solo_streams():
 
     with pytest.raises(ValueError, match="audio payload"):
         ms.feed(0, pcm=np.zeros(100, np.float32))
+
+
+def test_hub_span_assembly_matches_frames():
+    """assemble(span=True) must emit the contiguous sample span whose
+    on-device framing (ops/stft.frame_signal) reproduces assemble()'s
+    materialized windows exactly, with identical consume/gate/peak
+    semantics — in both the native (C++) and pure-Python hubs."""
+    import pytest
+
+    from avvad_tpu.native import StreamHub
+    from avvad_tpu.ops.stft import frame_signal
+
+    nfft, hop, bf = 64, 16, 4
+    rng = np.random.default_rng(11)
+    feeds = [rng.normal(size=n).astype(np.float32)
+             for n in (500, 140, 380)]
+
+    for force_py in (False, True):
+        hub_f = StreamHub(3, nfft, hop, bf, force_python=force_py)
+        hub_s = StreamHub(3, nfft, hop, bf, force_python=force_py)
+        if not force_py and not hub_f.is_native:
+            pytest.skip("native library unavailable")
+        assert hub_s.span == (bf - 1) * hop + nfft
+        for i, x in enumerate(feeds):
+            hub_f.feed(i, x)
+            hub_s.feed(i, x)
+        gates = [None, np.array([1.0, 0.0, 1.0], np.float32), None]
+        for gate in gates:
+            bl_f, pk_f, ac_f, n_f = hub_f.assemble(gate=gate)
+            bl_f, pk_f, ac_f = bl_f.copy(), pk_f.copy(), ac_f.copy()
+            bl_s, pk_s, ac_s, n_s = hub_s.assemble(gate=gate, span=True)
+            assert n_f == n_s
+            np.testing.assert_array_equal(ac_f, ac_s)
+            np.testing.assert_array_equal(pk_f, pk_s)
+            framed = np.asarray(frame_signal(jnp.asarray(bl_s), nfft, hop))
+            for i in range(3):
+                if ac_f[i]:
+                    np.testing.assert_array_equal(framed[i], bl_f[i])
+        # mid-run reset keeps the two consumption states in lockstep
+        hub_f.reset_stream(0)
+        hub_s.reset_stream(0)
+        hub_f.feed(0, feeds[0][:300])
+        hub_s.feed(0, feeds[0][:300])
+        bl_f, _, ac_f, _ = hub_f.assemble()
+        bl_s, _, ac_s, _ = hub_s.assemble(span=True)
+        np.testing.assert_array_equal(ac_f, ac_s)
+        framed = np.asarray(frame_signal(jnp.asarray(bl_s), nfft, hop))
+        for i in range(3):
+            if ac_f[i]:
+                np.testing.assert_array_equal(framed[i], bl_f[i].copy())
+
+
+def test_multistream_span_wire_bitexact(ref_subset):
+    """span_wire=True ships ~nfft/hop less audio per tick and frames on
+    device — the probabilities must be BIT-identical to the frames wire
+    (same floats through the same windowed-DFT math)."""
+    from avvad_tpu.serve import MultiStreamVAD
+
+    wavs = sorted(glob.glob(os.path.join(
+        ref_subset, "processed/ntcd_timit/Clean/**/*.wav"), recursive=True))[:3]
+    signals = [read_wav(w)[0][:12000] for w in wavs]
+    model, variables = _model_and_vars(h=8, layers=2)
+
+    def run(**kw):
+        ms = MultiStreamVAD(model, variables, n_streams=3, block_frames=8,
+                            max_backlog_blocks=256, **kw)
+        for i, x in enumerate(signals):
+            ms.feed(i, x)
+        out = [[] for _ in range(3)]
+        while True:
+            r = ms.tick()
+            if not r:
+                break
+            for i, p in r.items():
+                out[i].append(p)
+        return [np.concatenate(o) for o in out]
+
+    base = run()
+    span = run(span_wire=True)
+    for i in range(3):
+        np.testing.assert_array_equal(span[i], base[i])
+
+    # hop-DFT frontend on the span: fp32-rounding-level agreement
+    hop = run(span_wire=True, hop_dft=True)
+    for i in range(3):
+        np.testing.assert_allclose(hop[i], base[i], atol=1e-5)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="span_wire"):
+        MultiStreamVAD(model, variables, n_streams=3, hop_dft=True)
+
+
+def test_multistream_av_span_wire_bitexact():
+    """AV span wire (+ uint8 video): bit-identical to the frames wire,
+    including a stream whose video lags (the gated span assemble must
+    hold its samples exactly like the frames assemble)."""
+    from avvad_tpu.models import AVVAD
+    from avvad_tpu.serve import MultiStreamAVVAD
+
+    rng = np.random.default_rng(5)
+    cfg = STFTConfig()
+    bf = 8
+    signals = [rng.normal(size=n).astype(np.float32) * 0.3
+               for n in (9000, 7000)]
+    videos = [np.round(rng.random((30, 67, 67)) * 255).astype(np.float32)
+              for _ in signals]
+
+    model = AVVAD(y_dim=1, lstm_hidden_size=8, lstm_layers=1, use_mcb=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 513)),
+                           jnp.zeros((1, 4, 67, 67)))
+
+    def run(**kw):
+        ms = MultiStreamAVVAD(model, variables, n_streams=2, stft_cfg=cfg,
+                              block_frames=bf, video_uint8=True, **kw)
+        ms.feed(0, pcm=signals[0], video_frames=videos[0])
+        ms.feed(1, pcm=signals[1])  # video drips: exercises the gate
+        out = [[] for _ in range(2)]
+        v1 = 0
+        for _ in range(16):
+            if v1 < len(videos[1]):
+                ms.feed(1, video_frames=videos[1][v1:v1 + bf])
+                v1 += bf
+            r = ms.tick()
+            if not r and v1 >= len(videos[1]):
+                break
+            for i, p in r.items():
+                out[i].append(p)
+        return [np.concatenate(o) if o else np.zeros(0) for o in out]
+
+    base = run()
+    span = run(span_wire=True)
+    for i in range(2):
+        assert len(base[i]) > 0
+        np.testing.assert_array_equal(span[i], base[i])
+
+    hop = run(span_wire=True, hop_dft=True)
+    for i in range(2):
+        np.testing.assert_allclose(hop[i], base[i], atol=1e-5)

@@ -476,3 +476,33 @@ def test_video_server_round_trip_matches_solo_stream():
         server.stop()
         t.join(timeout=10)
         server.close()
+
+
+def test_server_round_trip_span_wire_matches_frames_wire():
+    """A VADServer on a span-wire streamer must serve byte-identical
+    probabilities to the frames-wire server (the wire change is invisible
+    to clients): same signals, two servers, equal outputs."""
+    model, variables = _model_and_vars(h=8, layers=1)
+    bf = 8
+    sig = _signals(1)[0]
+
+    def serve_once(**kw):
+        ms = MultiStreamVAD(model, variables, n_streams=2, block_frames=bf,
+                            **kw)
+        server = VADServer(ms)
+        t = threading.Thread(target=server.serve_forever,
+                             kwargs={"timeout": 0.002}, daemon=True)
+        t.start()
+        try:
+            cfg = ms.cfg
+            n_frames = 1 + (len(sig) - cfg.nfft) // cfg.hopsamp
+            n_out = (n_frames // bf) * bf
+            return stream_client(server.address, sig, n_out)
+        finally:
+            server.stop()
+            t.join(timeout=10)
+            server.close()
+
+    base = serve_once()
+    span = serve_once(span_wire=True)
+    np.testing.assert_array_equal(span, base)
