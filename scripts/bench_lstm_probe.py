@@ -34,12 +34,22 @@ import numpy as np
 
 
 def _timeit(fn, args, iters):
-    out = fn(*args)
+    """Pipelined timing with a forced data dependency: each iteration's
+    first argument depends on the previous output, so the runtime cannot
+    elide or dedupe repeated identical dispatches, and the final value
+    fetch is the barrier. (Per-call ``block_until_ready`` is NOT a
+    reliable sync on the tunneled backend — identical re-dispatches were
+    measured at impossible >10 PF/s rates; see bench.py ``time_serve``.)"""
+    out = fn(*args)  # warm up / compile
     jax.tree_util.tree_leaves(out)[0].block_until_ready()
+    first, rest = args[0], args[1:]
+    carry = jnp.float32(0.0)
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn(*args)
-    jax.tree_util.tree_leaves(out)[0].block_until_ready()
+        out = fn(first + carry * 0.0, *rest)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        carry = leaf[(0,) * leaf.ndim].astype(jnp.float32)
+    float(carry)  # value fetch: the only reliable barrier here
     return (time.perf_counter() - t0) / iters * 1e3
 
 

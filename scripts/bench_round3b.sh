@@ -39,34 +39,7 @@ run timeout 1800 python scripts/bench_streaming.py --av-int8 --av-u8 --hop-dft
 
 # 4) serving-artifact overhead check: an exported StableHLO program
 #    should run at jit speed (same compiled executable, different entry
-#    path). Times direct jit vs artifact.call at a small serving shape.
-run timeout 1800 python - <<'EOF'
-import sys, time
-sys.path.insert(0, "/root/repo")
-import jax, jax.numpy as jnp, numpy as np
-from avvad_tpu.utils import enable_compilation_cache
-enable_compilation_cache()
-from avvad_tpu.models import AVVAD
-from avvad_tpu.export import ServingArtifact, make_waveform_serving_fn
-t, b = 64, 8
-n = 256 * (t - 1) + 1024
-model = AVVAD(lstm_hidden_size=1024, lstm_layers=2, use_mcb=True,
-              dtype=jnp.bfloat16)
-wave = jax.random.normal(jax.random.PRNGKey(0), (b, n))
-video = jax.random.normal(jax.random.PRNGKey(1), (b, t, 67, 67))
-variables = model.init(jax.random.PRNGKey(2), jnp.zeros((1, 4, 513)),
-                       jnp.zeros((1, 4, 67, 67)))
-fn = make_waveform_serving_fn(model, variables, t_frames=t)
-jitted = jax.jit(fn)
-art = ServingArtifact.build({"e": (fn, (wave, video))})
-def clock(f):
-    out = f(wave, video); jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(20):
-        out = f(wave, video)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / 20
-print(f"direct jit: {clock(jitted)*1e3:.2f} ms; "
-      f"artifact.call: {clock(lambda *a: art.call('e', *a))*1e3:.2f} ms")
-EOF
+#    path). Times direct jit vs artifact.call at a small serving shape,
+#    with the chained data-dependency + value-fetch methodology.
+run timeout 1800 python scripts/bench_artifact_overhead.py --iters 20
 echo "done -> $OUT"
