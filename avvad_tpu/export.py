@@ -45,6 +45,11 @@ class ServingArtifact:
                  meta: Optional[dict] = None):
         self.entries = dict(entries)
         self.meta = dict(meta or {})
+        # per-entry jitted wrappers: Exported.call re-traces its calling
+        # convention on EVERY invocation (measured 3.5 s/call vs 58 ms
+        # direct jit at the serving shape); wrapping it in one cached
+        # jax.jit restores compile-once dispatch.
+        self._compiled: dict[str, Callable] = {}
 
     @classmethod
     def build(cls, fns: Mapping[str, tuple[Callable, tuple]],
@@ -100,8 +105,15 @@ class ServingArtifact:
 
     def call(self, name: str, *args) -> Any:
         """Run entry ``name`` on the current backend (shapes must match
-        the exported example shapes exactly — static-shape serving)."""
-        return self.entries[name].call(*args)
+        the exported example shapes exactly — static-shape serving).
+
+        The first call per entry compiles (jit of the exported program);
+        subsequent calls dispatch the cached executable at direct-jit
+        speed (scripts/bench_artifact_overhead.py measures the gap)."""
+        fn = self._compiled.get(name)
+        if fn is None:
+            fn = self._compiled[name] = jax.jit(self.entries[name].call)
+        return fn(*args)
 
     def input_shapes(self, name: str):
         return [tuple(a.shape) for a in self.entries[name].in_avals]

@@ -194,13 +194,14 @@ def main():
         return float(best)
 
     # AVVAD_BENCH_AUTO (default on unless a candidate flag is set
-    # explicitly): time the shipped config against the two quality-gated
-    # round-3 candidates — hop-block DFT frontend and int8-state LSTM
-    # recurrence (gates: QUALITY.md round 3; hop-DFT is probability-exact,
-    # int8 state is 0.66% flips / ΔAUC 0.002 at grid scale) — and report
-    # the fastest. Selection uses short runs; the winner gets the full
-    # 3x20 measurement. Candidates that fail or exceed the compile budget
-    # are skipped (the shipped config always completes).
+    # explicitly): time the shipped config against the quality-gated
+    # round-3 candidates — bf16/int8-state LSTM recurrence and the
+    # hop-block DFT frontend (gates: QUALITY.md round 3; hop-DFT is
+    # probability-exact, bf16 state 0.05% flips, int8 state 0.66% flips /
+    # ΔAUC 0.002 at grid scale) — and report the fastest. Selection uses
+    # short runs; the winner gets the full 3x20 measurement. Candidates
+    # that fail or exceed the compile budget are skipped (the shipped
+    # config always completes).
     explicit = ("AVVAD_BENCH_HOP_DFT" in os.environ
                 or "AVVAD_BENCH_LSTM_QUANT" in os.environ
                 or "AVVAD_BENCH_MCB_HOIST" in os.environ)
@@ -225,15 +226,21 @@ def main():
         winner = f"explicit:hop_dft={int(hop_dft)},lstm={lstm_quant}"
     else:
         t_start = time.perf_counter()
-        # Combo first: if the compile budget truncates the ladder, the
-        # highest-expected-value candidate has already been measured.
+        # Order = measured expected value (2026-08-18 hardware pass,
+        # BENCH_NOTES "round-3 hardware results"): bf16 LSTM state was the
+        # fastest single candidate (45.8 ms/step vs 48.5 shipped), int8
+        # state next (47.0); the hop-DFT frontend's probe-level 6.7x is
+        # <1 ms at step level (small slice, floor-dominated step) and its
+        # measured combos with quantized state were slower than the state
+        # change alone, so only the plain hop_dft candidate stays. If the
+        # compile budget truncates the ladder, the highest-expected-value
+        # candidates have already run.
         candidates = [("shipped", hop_dft, lstm_quant)]
-        if not hop_dft and lstm_quant == "none":
-            candidates.append(("hop_dft+lstm_int8", True, "int8"))
+        if lstm_quant == "none":
+            candidates.append(("lstm_bf16", hop_dft, "bf16"))
+            candidates.append(("lstm_int8", hop_dft, "int8"))
         if not hop_dft:
             candidates.append(("hop_dft", True, lstm_quant))
-        if lstm_quant == "none":
-            candidates.append(("lstm_int8", hop_dft, "int8"))
         timings = {}
         serves = {"shipped": serve}
         first_error = None
