@@ -207,12 +207,21 @@ def make_multistream_tick_fn(server) -> tuple[Callable, tuple]:
                        out_shardings=(row, [(row, row)] * len(carries))), \
             example
 
+    def audio_example():
+        # span-wire servers trace their tick on the raw contiguous
+        # (N, span) sample span; frames-wire servers on (N, bf, nfft)
+        # materialized windows — the exported program must match the
+        # shape the rebuilt server's hub will ship
+        if getattr(server, "span_wire", False):
+            return jnp.zeros((n, server._hub.span), jnp.float32)
+        return jnp.zeros((n, bf, server._nfft), jnp.float32)
+
     if isinstance(server, _serve.MultiStreamAVVAD):
         vdtype = jnp.uint8 if server._vdtype == np.uint8 else jnp.float32
 
         def fn(frames, video, peaks, active, carries):
             return step(variables, frames, video, peaks, active, carries)
-        example = (jnp.zeros((n, bf, server._nfft), jnp.float32),
+        example = (audio_example(),
                    jnp.zeros((n, bf, 67, 67), vdtype),
                    peaks, active, carries)
     elif isinstance(server, _serve.MultiStreamVideoVAD):
@@ -224,8 +233,7 @@ def make_multistream_tick_fn(server) -> tuple[Callable, tuple]:
     elif isinstance(server, _serve.MultiStreamVAD):
         def fn(frames, peaks, active, carries):
             return step(variables, frames, peaks, active, carries)
-        example = (jnp.zeros((n, bf, server._nfft), jnp.float32),
-                   peaks, active, carries)
+        example = (audio_example(), peaks, active, carries)
     else:
         raise TypeError(f"not a multi-stream server: {type(server)!r}")
     return _finish(fn, example)
@@ -258,6 +266,8 @@ def export_multistream_server(server, path: str,
         "lstm_hidden": server.model.lstm_hidden_size,
         "lstm_layers": server.model.lstm_layers,
         "nfft": getattr(server, "_nfft", None),
+        "span_wire": bool(getattr(server, "span_wire", False)),
+        "hop_dft": bool(getattr(server, "hop_dft", False)),
         "video_uint8": bool(getattr(server, "_vdtype", None) == np.uint8),
         "mesh_data": (None if server._stream_sharding is None
                       else server._stream_sharding.mesh.shape["data"]),
@@ -314,6 +324,11 @@ def load_multistream_server(path: str, native: bool = True, mesh=None):
         from .config import STFTConfig
 
         common["stft_cfg"] = STFTConfig(**geo["stft_cfg"])
+    if geo["kind"] != "video":
+        # wire format is baked into the exported tick program: the hub
+        # must assemble the same shape (span vs materialized windows)
+        common["span_wire"] = geo.get("span_wire", False)
+        common["hop_dft"] = geo.get("hop_dft", False)
     if geo["kind"] == "av":
         return _serve.MultiStreamAVVAD(facts, {}, native=native,
                                        video_uint8=geo["video_uint8"],

@@ -134,6 +134,11 @@ def restore_checkpoint(path: str, state, with_opt: bool = True):
 
     Returns (state, norm_stats, epoch)."""
     path = resolve_checkpoint(path)
+    if not os.path.isdir(path):
+        # fail here with the real reason: letting Orbax try first ends in
+        # an opaque metadata TypeError for a simple missing path
+        raise FileNotFoundError(f"no checkpoint at {path!r} (expected an "
+                                "epoch_* dir or a model dir containing one)")
     template = {
         "params": state.params,
         "opt_state": state.opt_state,

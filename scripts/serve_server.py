@@ -50,13 +50,20 @@ def main():
     p.add_argument("--mcb-hoist", action="store_true",
                    help="pre-fold MCB sketches into the DFT bases "
                         "(identical math, fewer per-tick matmuls; av only)")
-    p.add_argument("--audio-span", action="store_true",
+    p.add_argument("--audio-span", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="span audio wire: ship each tick's raw contiguous "
                         "sample span to the device (~3.4x less audio "
-                        "payload; on-device framing, bit-exact; audio/av)")
-    p.add_argument("--hop-dft", action="store_true",
+                        "payload; on-device framing, bit-exact; audio/av). "
+                        "Default ON for audio/av: the server's sync ticks "
+                        "measured 46.1 -> 41.5 ms at 32 streams "
+                        "(BENCH_NOTES round-3 hardware results)")
+    p.add_argument("--hop-dft", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="hop-block DFT frontend on the span (implies "
-                        "--audio-span; ~4x fewer frontend matmul FLOPs)")
+                        "--audio-span; ~4x fewer frontend matmul FLOPs, "
+                        "probability-exact — QUALITY.md). Default ON for "
+                        "audio/av: sync ticks measured 41.5 -> 33.7 ms")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard streams over a data-axis mesh of this size "
                         "(must divide --streams; per-stream ticks need no "
@@ -64,8 +71,16 @@ def main():
     args = p.parse_args()
     if not args.checkpoint and not args.artifact:
         p.error("one of --checkpoint / --artifact is required")
-    if args.hop_dft:
-        args.audio_span = True
+    # span + hop-DFT default ON for the modalities they apply to (the
+    # server's ticks are always sync, where both measured strictly
+    # faster); video-only servers have no audio wire
+    if args.audio_span is None:
+        args.audio_span = args.modality != "video"
+    if args.hop_dft is None:
+        args.hop_dft = args.modality != "video"
+    if args.hop_dft and not args.audio_span:
+        p.error("--hop-dft requires the span audio wire (drop "
+                "--no-audio-span or pass --no-hop-dft)")
     if args.audio_span and args.modality == "video":
         p.error("--audio-span applies to audio/av modalities only")
 

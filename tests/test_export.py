@@ -284,6 +284,46 @@ def test_artifact_server_round_trip(tmp_path):
     loaded.reset_stream(0)
 
 
+def test_artifact_server_round_trip_span_hop_dft(tmp_path):
+    """A span-wire + hop-DFT server exports with the raw (N, span)
+    sample-span tick input (not materialized windows), records the wire
+    format in its geometry, and rebuilds a server whose outputs match
+    the live one exactly."""
+    from avvad_tpu.export import (ServingArtifact,
+                                  export_multistream_server,
+                                  load_multistream_server)
+    from avvad_tpu.models import AudioVAD
+    from avvad_tpu.serve import MultiStreamVAD
+
+    model = AudioVAD(lstm_hidden_size=16, lstm_layers=2)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 513)))
+    live = MultiStreamVAD(model, variables, n_streams=2, block_frames=4,
+                          span_wire=True, hop_dft=True)
+
+    p = str(tmp_path / "span_server.avvadx")
+    export_multistream_server(live, p)
+    loaded = load_multistream_server(p)
+    assert loaded.span_wire and loaded.hop_dft
+    # the exported tick was traced on the raw (N, span) sample span
+    assert ServingArtifact.load(p).input_shapes("tick")[0] \
+        == (2, live._hub.span)
+
+    rng = np.random.default_rng(0)
+    pcm0 = rng.standard_normal(1024 + 256 * 3).astype(np.float32)
+    pcm1 = rng.standard_normal(1024 + 256 * 7).astype(np.float32)
+    for srv in (live, loaded):
+        srv.feed(0, pcm0)
+        srv.feed(1, pcm1)
+    want, got = live.tick(), loaded.tick()
+    assert set(want) == set(got) == {0, 1}
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], atol=1e-6)
+    want2, got2 = live.tick(), loaded.tick()
+    assert set(want2) == set(got2)
+    for k in want2:
+        np.testing.assert_allclose(got2[k], want2[k], atol=1e-6)
+
+
 def test_mesh_sharded_server_artifact(tmp_path):
     """A mesh-sharded multi-stream server round-trips through an
     artifact: the exported SPMD tick replays with stream rows sharded
