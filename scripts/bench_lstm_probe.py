@@ -41,9 +41,18 @@ def _timeit(fn, args, iters):
     reliable sync on the tunneled backend — identical re-dispatches were
     measured at impossible >10 PF/s rates; see bench.py ``time_serve``.)"""
     out = fn(*args)  # warm up / compile
-    jax.tree_util.tree_leaves(out)[0].block_until_ready()
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    leaf.block_until_ready()
     first, rest = args[0], args[1:]
-    carry = jnp.float32(0.0)
+    # second warmup in the exact chained form the loop uses: for some
+    # programs the carry-dependent input lands in a SECOND jit-cache
+    # entry whose recompile would otherwise be averaged into the loop
+    # (measured: a 75 s recompile hiding in 30 "85 ms" iterations)
+    carry = leaf[(0,) * leaf.ndim].astype(jnp.float32)
+    out = fn(first + carry * 0.0, *rest)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    leaf.block_until_ready()
+    carry = leaf[(0,) * leaf.ndim].astype(jnp.float32)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(first + carry * 0.0, *rest)
@@ -151,9 +160,13 @@ def main():
     # shipped API: default vs quantized-state variants (B,T layout)
     from avvad_tpu.ops.lstm_pallas import lstm_layer_fused
 
+    # jit the call: EAGER pallas dispatch through the tunnel inflates
+    # these wildly and unevenly (measured 32 ms eager vs 5.4 ms jitted
+    # for state_quant="none" at this shape) — only jitted numbers are
+    # comparable to the serving step, which always runs under jit
     xp_bt = jnp.swapaxes(xp, 0, 1)
     for sq in ("none", "bf16", "int8"):
-        fn = functools.partial(lstm_layer_fused, state_quant=sq)
+        fn = jax.jit(functools.partial(lstm_layer_fused, state_quant=sq))
         ms = _timeit(fn, (xp_bt, w), args.iters)
         eff = flops / (ms * 1e-3) / 1e12
         print(f"lstm_layer_fused[{sq:4s}] {ms:7.2f} ms  {eff:6.1f} TF/s")

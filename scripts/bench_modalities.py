@@ -36,6 +36,14 @@ FRAME_RATE = FS / HOP
 def bench(serve, inputs, audio_seconds, n_iters=20, rounds=3):
     out = serve(*inputs)
     jax.block_until_ready(out)
+    # chained-form warmups (fresh-scalar + committed-carry): either form
+    # can land in its own jit-cache entry; compile both so no timed
+    # round hides a recompile (see bench.py time_serve)
+    carry = jnp.float32(0.0)
+    out = serve(inputs[0] + carry * 0.0, *inputs[1:])
+    carry = out.ravel()[0]
+    out = serve(inputs[0] + carry * 0.0, *inputs[1:])
+    jax.block_until_ready(out)
     best = None
     for _ in range(rounds):
         carry = jnp.float32(0.0)

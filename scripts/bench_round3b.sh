@@ -2,6 +2,9 @@
 # One-shot measurement plan for the two quality-gated, timing-pending
 # round-3 candidates (BENCH_NOTES.md "late session"): run on a live TPU.
 # Each step appends to $OUT; flip the bench defaults only for winners.
+#
+# EXECUTED 2026-08-18; results recorded in BENCH_NOTES.md "Round 3
+# hardware results". Kept as the reproducible harness.
 set -uo pipefail
 cd /root/repo
 OUT=${1:-/tmp/bench_round3b.log}
