@@ -218,6 +218,17 @@ def make_multistream_tick_fn(server) -> tuple[Callable, tuple]:
 
     if isinstance(server, _serve.MultiStreamAVVAD):
         vdtype = jnp.uint8 if server._vdtype == np.uint8 else jnp.float32
+        if server.video_fps:
+            # camera-rate tick: unique source frames + per-stream gather
+            # schedule (serve.MultiStreamAVVAD video_fps mode)
+            def fn(frames, video, vidx, peaks, active, carries):
+                return step(variables, frames, video, vidx, peaks, active,
+                            carries)
+            example = (audio_example(),
+                       jnp.zeros((n, server._vsrc_max, 67, 67), vdtype),
+                       jnp.zeros((n, bf), jnp.int32),
+                       peaks, active, carries)
+            return _finish(fn, example)
 
         def fn(frames, video, peaks, active, carries):
             return step(variables, frames, video, peaks, active, carries)
@@ -226,6 +237,12 @@ def make_multistream_tick_fn(server) -> tuple[Callable, tuple]:
                    peaks, active, carries)
     elif isinstance(server, _serve.MultiStreamVideoVAD):
         vdtype = jnp.uint8 if server._vdtype == np.uint8 else jnp.float32
+        if server.video_fps:
+            def fn(video, vidx, active, carries):
+                return step(variables, video, vidx, active, carries)
+            example = (jnp.zeros((n, server._vsrc_max, 67, 67), vdtype),
+                       jnp.zeros((n, bf), jnp.int32), active, carries)
+            return _finish(fn, example)
 
         def fn(video, active, carries):
             return step(variables, video, active, carries)
@@ -268,6 +285,7 @@ def export_multistream_server(server, path: str,
         "nfft": getattr(server, "_nfft", None),
         "span_wire": bool(getattr(server, "span_wire", False)),
         "hop_dft": bool(getattr(server, "hop_dft", False)),
+        "video_fps": getattr(server, "video_fps", None),
         "video_uint8": bool(getattr(server, "_vdtype", None) == np.uint8),
         "mesh_data": (None if server._stream_sharding is None
                       else server._stream_sharding.mesh.shape["data"]),
@@ -332,10 +350,12 @@ def load_multistream_server(path: str, native: bool = True, mesh=None):
     if geo["kind"] == "av":
         return _serve.MultiStreamAVVAD(facts, {}, native=native,
                                        video_uint8=geo["video_uint8"],
+                                       video_fps=geo.get("video_fps"),
                                        **common)
     if geo["kind"] == "video":
         return _serve.MultiStreamVideoVAD(facts, {},
                                           video_uint8=geo["video_uint8"],
+                                          video_fps=geo.get("video_fps"),
                                           **common)
     return _serve.MultiStreamVAD(facts, {}, native=native, **common)
 

@@ -238,11 +238,19 @@ class VideoVAD(nn.Module):
         x = self.dropout(x, deterministic=not train or self.dropout_rate == 0.0)
         return self.vad_video(x)
 
-    def streaming_head(self, video: jax.Array, carries):
+    def streaming_head(self, video: jax.Array, carries,
+                       video_frame_indices: Optional[jax.Array] = None):
         """One streaming block: raw lip frames (N, Tc, 67, 67) ->
         (logits, new_carries). The tower is frame-local, so video-only
-        streaming state is just the LSTM carries."""
+        streaming state is just the LSTM carries.
+
+        `video_frame_indices` ((N, Tc) int32, per-stream): `video` holds
+        unique camera-rate frames (N, S, 67, 67) and tower features are
+        gathered onto the label timeline — see AVVAD.streaming_head."""
         x = self.tower(video, train=False)
+        if video_frame_indices is not None:
+            x = jnp.take_along_axis(
+                x, video_frame_indices[:, :, None], axis=1)
         out, new_carries = self.lstm_video(x, carries=carries,
                                            return_carries=True)
         return self.vad_video(out), new_carries
@@ -343,9 +351,17 @@ class AVVAD(nn.Module):
         return self.vad_merged(y)
 
     def streaming_head(self, audio_feats: jax.Array, video: jax.Array,
-                       carries, per_stream_norm: bool = False):
+                       carries, per_stream_norm: bool = False,
+                       video_frame_indices: Optional[jax.Array] = None):
         """One streaming block: normalized audio features (N, Tc, 513) +
         raw video frames (N, Tc, 67, 67) -> (logits, new_carries).
+
+        With `video_frame_indices` ((N, Tc) int32, per-stream), `video`
+        holds UNIQUE camera-rate source frames (N, S, 67, 67) and tower
+        features are gathered per stream onto the audio timeline — the
+        streaming counterpart of __call__'s unique-frame serving layout
+        (each stream carries its own resample phase, hence per-row
+        indices; processing.video.fps_block_schedule).
 
         Streaming caveat: the MCB path's global L2 norm is computed per
         block rather than per utterance (inherent to causality, like the
@@ -353,6 +369,9 @@ class AVVAD(nn.Module):
         norm per batch row — required when N > 1 rows are independent
         streams (MultiStreamAVVAD), so no cross-stream coupling."""
         v = self.tower(video, train=False)
+        if video_frame_indices is not None:
+            v = jnp.take_along_axis(
+                v, video_frame_indices[:, :, None], axis=1)
         y = self._fuse(audio_feats, v, train=False,
                        per_sample_norm=per_stream_norm)
         out, new_carries = self.lstm_merged(y, carries=carries,

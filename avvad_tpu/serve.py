@@ -529,7 +529,92 @@ class StreamingAVVAD:
         return np.asarray(probs)[:n]
 
 
-class MultiStreamAVVAD(_MultiStreamBase):
+class _CameraRateVideoMixin:
+    """Camera-rate video ingestion shared by the AV and video-only
+    multi-stream servers: per-stream resample phase over the exact ffmpeg
+    duplication schedule (processing.video.fps_block_schedule). Each tick
+    ships only the block's unique source frames (N, src_max, 67, 67) plus
+    per-stream gather indices (N, bf); tower features gather onto the
+    62.5 fps label timeline on device — bit-identical to feeding
+    pre-upsampled frames at ~rate_out/rate_in x less payload + tower
+    compute."""
+
+    def _init_camera_video(self, video_fps: Optional[float], out_fps: float,
+                           n_streams: int, block_frames: int, vdtype) -> None:
+        self.video_fps = video_fps
+        if not video_fps:
+            self._vout = np.zeros((n_streams, block_frames, 67, 67), vdtype)
+            return
+        from .processing.video import fps_block_src_max
+
+        self._out_fps = out_fps
+        if video_fps > out_fps:
+            raise ValueError(
+                f"video_fps {video_fps} exceeds the {out_fps} fps label "
+                "timeline (the schedule only duplicates frames)")
+        self._vsrc_max = fps_block_src_max(block_frames, video_fps, out_fps)
+        self._vout = np.zeros((n_streams, self._vsrc_max, 67, 67), vdtype)
+        self._vidx = np.zeros((n_streams, block_frames), np.int32)
+
+    def _camera_reset(self) -> None:
+        if self.video_fps:
+            # per-stream resample phase: next output-frame index, and the
+            # absolute source index of _vbufs[i][0]
+            self._vpos = np.zeros(self.n, np.int64)
+            self._vbase = np.zeros(self.n, np.int64)
+
+    def _camera_reset_stream(self, stream_idx: int) -> None:
+        if self.video_fps:
+            self._vpos[stream_idx] = 0
+            self._vbase[stream_idx] = 0
+
+    def _video_cap(self, cap_blocks_frames: int) -> int:
+        """Backlog cap in buffered frames; counts SOURCE frames in
+        camera-rate mode."""
+        if not self.video_fps:
+            return cap_blocks_frames
+        return int(np.ceil(cap_blocks_frames * self.video_fps
+                           / self._out_fps)) + self._vsrc_max
+
+    def _video_block_need(self, stream_idx: int):
+        """Camera-rate mode: (src_lo, rel_idx) for this stream's pending
+        block, from its resample phase."""
+        from .processing.video import fps_block_schedule
+
+        return fps_block_schedule(int(self._vpos[stream_idx]),
+                                  self.block_frames, self.video_fps,
+                                  self._out_fps)
+
+    def _video_ready(self, stream_idx: int) -> bool:
+        if not self.video_fps:
+            return len(self._vbufs[stream_idx]) >= self.block_frames
+        lo, rel = self._video_block_need(stream_idx)
+        need = lo - int(self._vbase[stream_idx]) + int(rel[-1]) + 1
+        return len(self._vbufs[stream_idx]) >= need
+
+    def _consume_video(self, i: int) -> None:
+        """Move one block of video for stream i into the device-bound
+        buffers and advance its state."""
+        bf = self.block_frames
+        if not self.video_fps:
+            self._vout[i] = self._vbufs[i][:bf]
+            self._vbufs[i] = self._vbufs[i][bf:]
+            return
+        lo, rel = self._video_block_need(i)
+        off = lo - int(self._vbase[i])
+        cnt = int(rel[-1]) + 1
+        self._vout[i, :cnt] = self._vbufs[i][off:off + cnt]
+        self._vidx[i] = rel
+        # advance phase; keep source frames the NEXT block still needs
+        # (a source frame can straddle the block boundary)
+        self._vpos[i] += bf
+        next_lo, _ = self._video_block_need(i)
+        drop = next_lo - int(self._vbase[i])
+        self._vbufs[i] = self._vbufs[i][drop:]
+        self._vbase[i] = next_lo
+
+
+class MultiStreamAVVAD(_MultiStreamBase, _CameraRateVideoMixin):
     """N concurrent independent AUDIO-VISUAL streams through ONE jitted
     step (the AV counterpart of MultiStreamVAD).
 
@@ -539,8 +624,11 @@ class MultiStreamAVVAD(_MultiStreamBase):
     assemble holds back streams whose video lags, keeping their samples
     buffered). Padded/inactive streams have their fusion-LSTM carries
     mask-restored, so per-stream results are bit-identical to running each
-    stream alone through StreamingAVVAD. For 30 fps camera input, re-time
-    frames with processing.video.fps_resample_indices before feeding.
+    stream alone through StreamingAVVAD. For camera input at its native
+    rate, pass `video_fps` (e.g. 30.0): frames then feed at the source
+    rate, the tower runs on each block's unique frames only, and features
+    are gathered onto the 62.5 fps timeline on device — bit-identical to
+    pre-upsampled feeding at ~2.08x less video payload and tower compute.
     """
 
     def __init__(self, model, variables: dict, n_streams: int,
@@ -553,10 +641,19 @@ class MultiStreamAVVAD(_MultiStreamBase):
                  mesh=None,
                  step_override=None,
                  span_wire: bool = False,
-                 hop_dft: bool = False):
+                 hop_dft: bool = False,
+                 video_fps: Optional[float] = None):
         # step_override: see MultiStreamVAD (artifact-driven serving)
         # span_wire / hop_dft: see MultiStreamVAD (raw sample span on the
         # audio wire; hop-block DFT frontend on the span)
+        # video_fps: CAMERA-RATE video ingestion — feed() then takes lip
+        # frames at this source rate (e.g. the camera's native 30 fps);
+        # each tick ships only the block's unique source frames plus a
+        # per-stream gather schedule, the tower runs on the uniques, and
+        # features are gathered onto the 62.5 fps audio timeline on
+        # device. Bit-identical to feeding pre-upsampled frames (the
+        # 62.5 fps timeline is frame DUPLICATION — fps_block_schedule),
+        # at ~rate_out/rate_in x less video payload AND tower compute.
         if hop_dft and not span_wire:
             raise ValueError("hop_dft frontend requires span_wire=True "
                              "(it consumes the contiguous sample span)")
@@ -580,7 +677,8 @@ class MultiStreamAVVAD(_MultiStreamBase):
         self._a_std = _norm_stat(norm_stats, "audio_std")
         self._v_mean = _norm_stat(norm_stats, "video_mean")
         self._v_std = _norm_stat(norm_stats, "video_std")
-        self._vout = np.zeros((n_streams, block_frames, 67, 67), self._vdtype)
+        self._init_camera_video(video_fps, stft_cfg.fs / stft_cfg.hopsamp,
+                                n_streams, block_frames, self._vdtype)
         self._step = (step_override if step_override is not None
                       else self._build_step())
         self.reset()
@@ -589,6 +687,7 @@ class MultiStreamAVVAD(_MultiStreamBase):
         self._hub.reset()
         self._vbufs = [np.zeros((0, 67, 67), self._vdtype)
                        for _ in range(self.n)]
+        self._camera_reset()
         self._carries = self._zero_carries()
 
     def _build_step(self):
@@ -600,11 +699,14 @@ class MultiStreamAVVAD(_MultiStreamBase):
         mask_carries = self._mask_carries
         nfft, hop, bf = self._nfft, self._hop, self.block_frames
         span_wire, hop_dft = self.span_wire, self.hop_dft
+        camera_rate = bool(self.video_fps)
 
-        @jax.jit
-        def step(variables, frames, video, peaks, active, carries):
+        def _model_tick(variables, frames, video, peaks, active, carries,
+                        vidx=None):
             # frames (N, bf, nfft) — or the raw (N, span) sample span on
-            # the span wire; video (N, bf, 67, 67); peaks/active (N,)
+            # the span wire; video (N, bf, 67, 67) — or the block's
+            # unique (N, src_max, 67, 67) camera-rate frames with their
+            # per-stream gather schedule vidx (N, bf); peaks/active (N,)
             if span_wire:
                 feats = _span_feats(frames, peaks, nfft, hop, bf, cos_b,
                                     sin_b, eps, a_mean, a_std, hop_dft)
@@ -617,9 +719,21 @@ class MultiStreamAVVAD(_MultiStreamBase):
                 v = (v - v_mean) / (v_std + eps)
             logits, new_carries = model.apply(
                 variables, feats, v, carries, per_stream_norm=True,
+                video_frame_indices=vidx,
                 method=model.streaming_head)
             masked = mask_carries(active, new_carries, carries)
             return jax.nn.sigmoid(logits[..., 0]), masked
+
+        if camera_rate:
+            @jax.jit
+            def step(variables, frames, video, vidx, peaks, active, carries):
+                return _model_tick(variables, frames, video, peaks, active,
+                                   carries, vidx=vidx)
+        else:
+            @jax.jit
+            def step(variables, frames, video, peaks, active, carries):
+                return _model_tick(variables, frames, video, peaks, active,
+                                   carries)
 
         return step
 
@@ -630,9 +744,11 @@ class MultiStreamAVVAD(_MultiStreamBase):
         shape = ((self.n, self._hub.span) if self.span_wire
                  else (self.n, self.block_frames, self._nfft))
         frames = _put_streams(jnp.zeros(shape), sh)
-        video = _put_streams(jnp.zeros(
-            (self.n, self.block_frames, 67, 67), dtype=self._vdtype), sh)
-        probs, _ = self._step(self.variables, frames, video,
+        video = _put_streams(
+            jnp.zeros(self._vout.shape, dtype=self._vdtype), sh)
+        extra = ((_put_streams(jnp.zeros_like(jnp.asarray(self._vidx)), sh),)
+                 if self.video_fps else ())
+        probs, _ = self._step(self.variables, frames, video, *extra,
                               _put_streams(jnp.ones(self.n), sh),
                               _put_streams(jnp.zeros(self.n), sh),
                               self._carries)
@@ -659,7 +775,8 @@ class MultiStreamAVVAD(_MultiStreamBase):
                     f"stream {stream_idx} audio backlog exceeds "
                     f"{self.max_backlog_blocks} blocks")
         if video_frames is not None and len(video_frames):
-            if len(self._vbufs[stream_idx]) + len(video_frames) > cap:
+            if len(self._vbufs[stream_idx]) + len(video_frames) \
+                    > self._video_cap(cap):
                 raise ValueError(
                     f"stream {stream_idx} video backlog exceeds "
                     f"{self.max_backlog_blocks} blocks")
@@ -671,33 +788,34 @@ class MultiStreamAVVAD(_MultiStreamBase):
         """True when the stream could produce output on the next tick
         (both modalities have a full block buffered)."""
         return (self._hub.frames_ready(stream_idx) >= self.block_frames
-                and len(self._vbufs[stream_idx]) >= self.block_frames)
+                and self._video_ready(stream_idx))
 
     def reset_stream(self, stream_idx: int) -> None:
         """Recycle one stream slot (buffers, peak, LSTM carries)."""
         self._hub.reset_stream(stream_idx)
         self._vbufs[stream_idx] = np.zeros((0, 67, 67), self._vdtype)
+        self._camera_reset_stream(stream_idx)
         self._clear_carry_row(stream_idx)
 
     def tick(self, fetch: bool = True) -> dict:
         """Advance every stream with a full audio AND video block; returns
         {stream_idx: probs} for streams that produced output. `fetch=False`
         returns device arrays without synchronizing (see MultiStreamVAD)."""
-        bf = self.block_frames
-        gate = np.fromiter((1.0 if len(v) >= bf else 0.0
-                            for v in self._vbufs), np.float32, self.n)
+        gate = np.fromiter((1.0 if self._video_ready(i) else 0.0
+                            for i in range(self.n)), np.float32, self.n)
         blocks, peaks, active, n_active = \
             self._hub.assemble(gate=gate, span=self.span_wire)
         if n_active == 0:
             return {}
         for i in range(self.n):
             if active[i]:
-                self._vout[i] = self._vbufs[i][:bf]
-                self._vbufs[i] = self._vbufs[i][bf:]
+                self._consume_video(i)
         sh = self._stream_sharding
+        extra = ((_put_streams(jnp.asarray(self._vidx), sh),)
+                 if self.video_fps else ())
         probs, self._carries = self._step(
             self.variables, _put_streams(blocks, sh),
-            _put_streams(self._vout, sh), _put_streams(peaks, sh),
+            _put_streams(self._vout, sh), *extra, _put_streams(peaks, sh),
             _put_streams(active, sh), self._carries)
         if fetch:
             probs = np.asarray(probs)
@@ -779,11 +897,13 @@ class StreamingVideoVAD:
         return np.asarray(probs)[:n]
 
 
-class MultiStreamVideoVAD(_MultiStreamBase):
+class MultiStreamVideoVAD(_MultiStreamBase, _CameraRateVideoMixin):
     """N concurrent video-only streams through one jitted tick (the
     video twin of MultiStreamVAD; wire-compatible with the AV framed
     protocol restricted to V/U messages). Masked carries keep batched
-    streams equal to solo StreamingVideoVAD runs."""
+    streams equal to solo StreamingVideoVAD runs. `video_fps` enables
+    camera-rate ingestion (see _CameraRateVideoMixin) — the biggest win
+    here, since the tower is the whole video-only model cost."""
 
     def __init__(self, model, variables: dict, n_streams: int,
                  norm_stats: Optional[dict] = None,
@@ -791,7 +911,8 @@ class MultiStreamVideoVAD(_MultiStreamBase):
                  max_backlog_blocks: int = 32,
                  video_uint8: bool = False,
                  mesh=None,
-                 step_override=None):
+                 step_override=None,
+                 video_fps: Optional[float] = None):
         # step_override: see MultiStreamVAD (artifact-driven serving)
         self._init_streams(model, variables, n_streams, block_frames,
                            max_backlog_blocks, mesh)
@@ -799,8 +920,10 @@ class MultiStreamVideoVAD(_MultiStreamBase):
         self._vdtype = np.uint8 if video_uint8 else np.float32
         self._v_mean = _norm_stat(norm_stats, "video_mean")
         self._v_std = _norm_stat(norm_stats, "video_std")
-        self._eps = STFTConfig().eps
-        self._vout = np.zeros((n_streams, block_frames, 67, 67), self._vdtype)
+        cfg = STFTConfig()
+        self._eps = cfg.eps
+        self._init_camera_video(video_fps, cfg.fs / cfg.hopsamp,
+                                n_streams, block_frames, self._vdtype)
         self._step = (step_override if step_override is not None
                       else self._build_step())
         self.reset()
@@ -808,6 +931,7 @@ class MultiStreamVideoVAD(_MultiStreamBase):
     def reset(self) -> None:
         self._vbufs = [np.zeros((0, 67, 67), self._vdtype)
                        for _ in range(self.n)]
+        self._camera_reset()
         self._carries = self._zero_carries()
 
     def _build_step(self):
@@ -815,15 +939,25 @@ class MultiStreamVideoVAD(_MultiStreamBase):
         v_mean, v_std, eps = self._v_mean, self._v_std, self._eps
         mask_carries = self._mask_carries
 
-        @jax.jit
-        def step(variables, video, active, carries):
+        def _model_tick(variables, video, active, carries, vidx=None):
             v = video.astype(jnp.float32)
             if v_mean is not None:
                 v = (v - v_mean) / (v_std + eps)
             logits, new_carries = model.apply(
-                variables, v, carries, method=model.streaming_head)
+                variables, v, carries, video_frame_indices=vidx,
+                method=model.streaming_head)
             masked = mask_carries(active, new_carries, carries)
             return jax.nn.sigmoid(logits[..., 0]), masked
+
+        if self.video_fps:
+            @jax.jit
+            def step(variables, video, vidx, active, carries):
+                return _model_tick(variables, video, active, carries,
+                                   vidx=vidx)
+        else:
+            @jax.jit
+            def step(variables, video, active, carries):
+                return _model_tick(variables, video, active, carries)
 
         return step
 
@@ -831,9 +965,11 @@ class MultiStreamVideoVAD(_MultiStreamBase):
         """Compile the tick step before serving traffic (see
         MultiStreamVAD.warmup). State is untouched (active=0)."""
         sh = self._stream_sharding
-        video = _put_streams(jnp.zeros(
-            (self.n, self.block_frames, 67, 67), dtype=self._vdtype), sh)
-        probs, _ = self._step(self.variables, video,
+        video = _put_streams(
+            jnp.zeros(self._vout.shape, dtype=self._vdtype), sh)
+        extra = ((_put_streams(jnp.zeros_like(jnp.asarray(self._vidx)), sh),)
+                 if self.video_fps else ())
+        probs, _ = self._step(self.variables, video, *extra,
                               _put_streams(jnp.zeros(self.n), sh),
                               self._carries)
         jax.block_until_ready(probs)
@@ -849,7 +985,8 @@ class MultiStreamVideoVAD(_MultiStreamBase):
         if video_frames is None or not len(video_frames):
             return
         cap = self.max_backlog_blocks * self.block_frames
-        if len(self._vbufs[stream_idx]) + len(video_frames) > cap:
+        if len(self._vbufs[stream_idx]) + len(video_frames) \
+                > self._video_cap(cap):
             raise ValueError(
                 f"stream {stream_idx} video backlog exceeds "
                 f"{self.max_backlog_blocks} blocks")
@@ -858,28 +995,29 @@ class MultiStreamVideoVAD(_MultiStreamBase):
              _to_wire_video(video_frames, self._vdtype)])
 
     def has_full_block(self, stream_idx: int) -> bool:
-        return len(self._vbufs[stream_idx]) >= self.block_frames
+        return self._video_ready(stream_idx)
 
     def reset_stream(self, stream_idx: int) -> None:
         """Recycle one stream slot (buffer + LSTM carries)."""
         self._vbufs[stream_idx] = np.zeros((0, 67, 67), self._vdtype)
+        self._camera_reset_stream(stream_idx)
         self._clear_carry_row(stream_idx)
 
     def tick(self, fetch: bool = True) -> dict:
         """Advance every stream with a full video block; returns
         {stream_idx: probs}. `fetch=False`: see MultiStreamVAD.tick."""
-        bf = self.block_frames
-        active = np.fromiter((1.0 if len(v) >= bf else 0.0
-                              for v in self._vbufs), np.float32, self.n)
+        active = np.fromiter((1.0 if self._video_ready(i) else 0.0
+                              for i in range(self.n)), np.float32, self.n)
         if not active.any():
             return {}
         for i in range(self.n):
             if active[i]:
-                self._vout[i] = self._vbufs[i][:bf]
-                self._vbufs[i] = self._vbufs[i][bf:]
+                self._consume_video(i)
         sh = self._stream_sharding
+        extra = ((_put_streams(jnp.asarray(self._vidx), sh),)
+                 if self.video_fps else ())
         probs, self._carries = self._step(
-            self.variables, _put_streams(self._vout, sh),
+            self.variables, _put_streams(self._vout, sh), *extra,
             _put_streams(active, sh), self._carries)
         if fetch:
             probs = np.asarray(probs)

@@ -71,7 +71,7 @@ def run(server: MultiStreamVAD, n_ticks: int, chunk: np.ndarray,
 def make_av_server(n_streams: int, block_frames: int, int8: bool = False,
                    u8_wire: bool = False, pallas_tower: bool = False,
                    mcb_hoist: bool = False, span_wire: bool = False,
-                   hop_dft: bool = False):
+                   hop_dft: bool = False, video_fps: float = 0.0):
     from avvad_tpu.models import AVVAD
     from avvad_tpu.serve import MultiStreamAVVAD
 
@@ -104,22 +104,37 @@ def make_av_server(n_streams: int, block_frames: int, int8: bool = False,
         variables = fold_sketch_collection(variables)
     return MultiStreamAVVAD(model, variables, n_streams,
                             block_frames=block_frames, video_uint8=u8_wire,
-                            span_wire=span_wire, hop_dft=hop_dft)
+                            span_wire=span_wire, hop_dft=hop_dft,
+                            video_fps=video_fps or None)
 
 
 def run_av(server, n_ticks: int, chunk: np.ndarray,
-           vchunk: np.ndarray) -> float:
+           vchunk: np.ndarray, video_fps: float = 0.0) -> float:
     n = server.n
+    bf = server.block_frames
+    # camera-rate servers consume video_fps/62.5 source frames per output
+    # frame; pace the feed so every stream stays exactly one block ahead
+    ratio = (video_fps or 62.5) / 62.5
+    fed = [0]
+
+    def vfeed(total_blocks):
+        want = int(np.ceil(total_blocks * bf * ratio)) + 2
+        k, fed[0] = want - fed[0], want
+        return k
+
+    vstock = np.concatenate([vchunk, vchunk])
+    k0 = vfeed(2)
     for i in range(n):
         server.feed(i, pcm=np.concatenate([chunk, chunk]),
-                    video_frames=np.concatenate([vchunk, vchunk]))
+                    video_frames=vstock[:k0])
     out = server.tick(fetch=True)
     assert len(out) == n
     t0 = time.perf_counter()
     last = None
-    for _ in range(n_ticks):
+    for t in range(n_ticks):
+        vf = vstock[:vfeed(3 + t)]
         for i in range(n):
-            server.feed(i, pcm=chunk, video_frames=vchunk)
+            server.feed(i, pcm=chunk, video_frames=vf)
         last = server.tick(fetch=True)
     _ = np.asarray(last[0])
     return (time.perf_counter() - t0) / n_ticks
@@ -151,7 +166,13 @@ def main():
     ap.add_argument("--hop-dft", action="store_true",
                     help="hop-block DFT frontend on the span (implies "
                          "--audio-span; ~4x fewer frontend matmul FLOPs)")
+    ap.add_argument("--av-video-fps", type=float, default=0.0,
+                    help="camera-rate AV video wire (e.g. 30): source-rate "
+                         "frames on the wire, tower on unique frames, "
+                         "feature gather on device (implies --av)")
     args = ap.parse_args()
+    if args.av_video_fps:
+        args.av = True
     if args.hop_dft:
         args.audio_span = True
     if args.av_pallas:
@@ -200,15 +221,19 @@ def main():
                             int8=args.av_int8, u8_wire=args.av_u8,
                             pallas_tower=args.av_pallas,
                             mcb_hoist=args.av_mcb_hoist,
-                            span_wire=args.audio_span, hop_dft=args.hop_dft)
-        dt = run_av(av, args.ticks, chunk, vchunk)
+                            span_wire=args.audio_span, hop_dft=args.hop_dft,
+                            video_fps=args.av_video_fps)
+        dt = run_av(av, args.ticks, chunk, vchunk,
+                    video_fps=args.av_video_fps)
         agg = args.streams * block_sec / dt
         budget = block_sec / dt
         tag = "".join([" int8" if args.av_int8 else "",
                        " pallas" if args.av_pallas else "",
                        " u8" if args.av_u8 else "",
                        " mcb-hoist" if args.av_mcb_hoist else "",
-                       wire]) or " f32"
+                       wire,
+                       f" cam{args.av_video_fps:g}" if args.av_video_fps
+                       else ""]) or " f32"
         print(f"tick (AV{tag}): {dt * 1e3:6.1f} ms | {args.streams} streams "
               f"x {block_sec * 1e3:.0f} ms blocks -> {agg:6.1f}x aggregate "
               f"real time | latency budget headroom {budget:4.1f}x")

@@ -64,6 +64,13 @@ def main():
                         "--audio-span; ~4x fewer frontend matmul FLOPs, "
                         "probability-exact — QUALITY.md). Default ON for "
                         "audio/av: sync ticks measured 41.5 -> 33.7 ms")
+    p.add_argument("--video-fps", type=float, default=0.0,
+                   help="video/av: ingest camera-rate video (e.g. 30) — "
+                        "clients send source-rate lip frames, the tower "
+                        "runs on each block's unique frames, features "
+                        "gather onto the 62.5 fps timeline on device "
+                        "(bit-exact vs pre-upsampled feeding, ~2.08x less "
+                        "video payload and tower compute at 30 fps)")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard streams over a data-axis mesh of this size "
                         "(must divide --streams; per-stream ticks need no "
@@ -159,6 +166,10 @@ def main():
               "devices")
     wire_kw = ({"span_wire": args.audio_span, "hop_dft": args.hop_dft}
                if args.modality != "video" else {})
+    if args.video_fps:
+        if args.modality == "audio":
+            p.error("--video-fps applies to the video/av modalities only")
+        wire_kw["video_fps"] = args.video_fps
     streamer = make_streamer(model, variables, n_streams=args.streams,
                              norm_stats=norm_stats,
                              block_frames=args.block_frames, mesh=mesh,

@@ -468,3 +468,44 @@ def test_empty_artifact_rejected(tmp_path):
         zf.writestr("meta.json", "{}")
     with pytest.raises(ValueError, match="no serving entries"):
         ServingArtifact.load(p)
+
+
+def test_artifact_av_camera_rate_server_round_trip(tmp_path):
+    """A camera-rate (video_fps=30) AV server exports its unique-frame
+    tick (source frames + per-stream gather schedule as explicit inputs),
+    records video_fps in the geometry, and rebuilds a server that matches
+    the live one exactly across multiple resample phases."""
+    from avvad_tpu.export import (ServingArtifact,
+                                  export_multistream_server,
+                                  load_multistream_server)
+    from avvad_tpu.models import AVVAD
+    from avvad_tpu.serve import MultiStreamAVVAD
+
+    model = AVVAD(y_dim=1, lstm_hidden_size=8, lstm_layers=1, use_mcb=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 513)),
+                           jnp.zeros((1, 4, 67, 67)))
+    bf = 16
+    live = MultiStreamAVVAD(model, variables, n_streams=2, block_frames=bf,
+                            video_uint8=True, video_fps=30.0)
+
+    p = str(tmp_path / "cam_server.avvadx")
+    export_multistream_server(live, p)
+    loaded = load_multistream_server(p)
+    assert loaded.video_fps == 30.0
+    shapes = ServingArtifact.load(p).input_shapes("tick")
+    assert shapes[1] == (2, live._vsrc_max, 67, 67)   # unique src frames
+    assert shapes[2] == (2, bf)                       # gather schedule
+
+    rng = np.random.default_rng(3)
+    pcm = [rng.standard_normal(40000).astype(np.float32) * 0.3
+           for _ in range(2)]
+    src = [np.round(rng.random((40, 67, 67)) * 255).astype(np.float32)
+           for _ in range(2)]
+    for srv in (live, loaded):
+        for i in range(2):
+            srv.feed(i, pcm=pcm[i], video_frames=src[i])
+    for _ in range(4):  # several ticks: 8- and 9-source phases
+        want, got = live.tick(), loaded.tick()
+        assert set(want) == set(got) == {0, 1}
+        for k in want:
+            np.testing.assert_allclose(got[k], want[k], atol=1e-6)

@@ -496,3 +496,112 @@ def test_multistream_av_span_wire_bitexact():
     hop = run(span_wire=True, hop_dft=True)
     for i in range(2):
         np.testing.assert_allclose(hop[i], base[i], atol=1e-5)
+
+
+def test_multistream_av_camera_rate_video_bitexact():
+    """Camera-rate video ingestion (video_fps=30): feeding 30 fps source
+    frames must be bit-identical to feeding the pre-upsampled 62.5 fps
+    stream — the tower runs on each block's unique frames and features
+    gather onto the audio timeline per stream (fps_block_schedule is the
+    exact ffmpeg duplication schedule). Covers multiple ticks (both 8-
+    and 9-source-frame phases at bf=16), a stream whose video lags, and
+    the uint8 wire."""
+    from avvad_tpu.models import AVVAD
+    from avvad_tpu.processing.video import upsample_video
+    from avvad_tpu.serve import MultiStreamAVVAD
+
+    rng = np.random.default_rng(7)
+    cfg = STFTConfig()
+    bf = 16
+    # 60 source frames -> 125 upsampled frames -> 7 full blocks
+    signals = [rng.normal(size=40000).astype(np.float32) * 0.3
+               for _ in range(2)]
+    src = [np.round(rng.random((60, 67, 67)) * 255).astype(np.float32)
+           for _ in range(2)]
+
+    model = AVVAD(y_dim=1, lstm_hidden_size=8, lstm_layers=1, use_mcb=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 513)),
+                           jnp.zeros((1, 4, 67, 67)))
+
+    def run(video_fps, videos, drip):
+        ms = MultiStreamAVVAD(model, variables, n_streams=2, stft_cfg=cfg,
+                              block_frames=bf, video_uint8=True,
+                              video_fps=video_fps)
+        ms.feed(0, pcm=signals[0], video_frames=videos[0])
+        ms.feed(1, pcm=signals[1])  # video drips: exercises the gate
+        out = [[] for _ in range(2)]
+        v1 = 0
+        for _ in range(24):
+            if v1 < len(videos[1]):
+                ms.feed(1, video_frames=videos[1][v1:v1 + drip])
+                v1 += drip
+            r = ms.tick()
+            if not r and v1 >= len(videos[1]):
+                break
+            for i, p in r.items():
+                out[i].append(p)
+        return [np.concatenate(o) if o else np.zeros(0) for o in out]
+
+    base = run(None, [upsample_video(v) for v in src], drip=11)
+    cam = run(30.0, src, drip=5)
+    for i in range(2):
+        assert len(base[i]) >= 7 * bf
+        assert len(cam[i]) == len(base[i])
+        np.testing.assert_array_equal(cam[i], base[i])
+
+    # reset_stream resets the resample phase: a recycled slot replays
+    # identically to a fresh one
+    ms = MultiStreamAVVAD(model, variables, n_streams=1, stft_cfg=cfg,
+                          block_frames=bf, video_uint8=True, video_fps=30.0)
+    ms.feed(0, pcm=signals[0], video_frames=src[0])
+    first = ms.tick()[0]
+    ms.reset_stream(0)
+    ms.feed(0, pcm=signals[0], video_frames=src[0])
+    np.testing.assert_array_equal(ms.tick()[0], first)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="exceeds the"):
+        MultiStreamAVVAD(model, variables, n_streams=1, video_fps=90.0)
+
+
+def test_multistream_video_camera_rate_bitexact():
+    """Video-only camera-rate ingestion: bit-identical to feeding the
+    pre-upsampled 62.5 fps stream (tower on unique frames + per-stream
+    feature gather), across ticks and a mid-stream reset."""
+    from avvad_tpu.models import VideoVAD
+    from avvad_tpu.processing.video import upsample_video
+    from avvad_tpu.serve import MultiStreamVideoVAD
+
+    rng = np.random.default_rng(11)
+    bf = 16
+    src = [np.round(rng.random((50, 67, 67)) * 255).astype(np.float32)
+           for _ in range(2)]
+
+    model = VideoVAD(y_dim=1, lstm_hidden_size=8, lstm_layers=1)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 67, 67)))
+
+    def run(video_fps, videos):
+        ms = MultiStreamVideoVAD(model, variables, n_streams=2,
+                                 block_frames=bf, video_uint8=True,
+                                 video_fps=video_fps)
+        out = [[] for _ in range(2)]
+        ms.feed(0, video_frames=videos[0])
+        fed = 0
+        for _ in range(16):
+            if fed < len(videos[1]):   # stream 1 drips
+                ms.feed(1, video_frames=videos[1][fed:fed + 7])
+                fed += 7
+            r = ms.tick()
+            if not r and fed >= len(videos[1]):
+                break
+            for i, p in r.items():
+                out[i].append(p)
+        return [np.concatenate(o) if o else np.zeros(0) for o in out]
+
+    base = run(None, [upsample_video(v) for v in src])
+    cam = run(30.0, src)
+    for i in range(2):
+        assert len(base[i]) >= 6 * bf
+        assert len(cam[i]) == len(base[i])
+        np.testing.assert_array_equal(cam[i], base[i])
