@@ -213,7 +213,9 @@ def make_multistream_tick_fn(server) -> tuple[Callable, tuple]:
         # materialized windows — the exported program must match the
         # shape the rebuilt server's hub will ship
         if getattr(server, "span_wire", False):
-            return jnp.zeros((n, server._hub.span), jnp.float32)
+            adt = (jnp.int16 if getattr(server, "audio_int16", False)
+                   else jnp.float32)
+            return jnp.zeros((n, server._hub.span), adt)
         return jnp.zeros((n, bf, server._nfft), jnp.float32)
 
     if isinstance(server, _serve.MultiStreamAVVAD):
@@ -285,6 +287,7 @@ def export_multistream_server(server, path: str,
         "nfft": getattr(server, "_nfft", None),
         "span_wire": bool(getattr(server, "span_wire", False)),
         "hop_dft": bool(getattr(server, "hop_dft", False)),
+        "audio_int16": bool(getattr(server, "audio_int16", False)),
         "video_fps": getattr(server, "video_fps", None),
         "video_uint8": bool(getattr(server, "_vdtype", None) == np.uint8),
         "mesh_data": (None if server._stream_sharding is None
@@ -347,6 +350,7 @@ def load_multistream_server(path: str, native: bool = True, mesh=None):
         # must assemble the same shape (span vs materialized windows)
         common["span_wire"] = geo.get("span_wire", False)
         common["hop_dft"] = geo.get("hop_dft", False)
+        common["audio_int16"] = geo.get("audio_int16", False)
     if geo["kind"] == "av":
         return _serve.MultiStreamAVVAD(facts, {}, native=native,
                                        video_uint8=geo["video_uint8"],

@@ -44,7 +44,7 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
             build()
         lib = ctypes.CDLL(_LIB_PATH)
         try:
-            lib.hub_assemble_span_gated  # newest symbol: probe for staleness
+            lib.hub_assemble_span_gated_i16  # newest symbol: staleness probe
         except AttributeError:
             if not auto_build:
                 return None
@@ -58,7 +58,7 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
             tmp.close()
             shutil.copy(_LIB_PATH, tmp.name)
             lib = ctypes.CDLL(tmp.name)
-            lib.hub_assemble_span_gated
+            lib.hub_assemble_span_gated_i16
             # the dlopen mapping survives unlink on Linux; remove the temp
             # copy at exit so the staleness probe doesn't leak one .so per
             # process
@@ -106,6 +106,15 @@ def load(auto_build: bool = True) -> Optional[ctypes.CDLL]:
     lib.hub_assemble_gated.argtypes = [ctypes.c_void_p, fp, fp, fp, fp]
     lib.hub_assemble_span_gated.restype = ctypes.c_int32
     lib.hub_assemble_span_gated.argtypes = [ctypes.c_void_p, fp, fp, fp, fp]
+    ip = ctypes.POINTER(ctypes.c_int16)
+    lib.hub_create_i16.restype = ctypes.c_void_p
+    lib.hub_create_i16.argtypes = [ctypes.c_int32] * 4
+    lib.hub_feed_i16.restype = ctypes.c_int64
+    lib.hub_feed_i16.argtypes = [ctypes.c_void_p, ctypes.c_int32, ip,
+                                 ctypes.c_int64]
+    lib.hub_assemble_span_gated_i16.restype = ctypes.c_int32
+    lib.hub_assemble_span_gated_i16.argtypes = [ctypes.c_void_p, fp, ip,
+                                                fp, fp]
     _lib = lib
     return lib
 
@@ -175,23 +184,38 @@ class StreamHub:
     """
 
     def __init__(self, n_streams: int, nfft: int, hop: int,
-                 block_frames: int, force_python: bool = False):
+                 block_frames: int, force_python: bool = False,
+                 dtype=np.float32):
+        # dtype: np.float32 (historical wire) or np.int16 — raw 16-bit PCM
+        # buffered and span-assembled as int16 (half the host->device
+        # payload; peaks then report max |sample| in the int16 domain and
+        # the device frontend divides the cast samples by that int-domain
+        # peak — bit-exact vs the float wire for int16-origin sources).
+        # int16 supports the SPAN wire only (no frames assemble).
+        self.dtype = np.dtype(dtype)
+        if self.dtype not in (np.dtype(np.float32), np.dtype(np.int16)):
+            raise ValueError(f"StreamHub dtype must be float32 or int16, "
+                             f"got {self.dtype}")
+        self._i16 = self.dtype == np.int16
         self.n = n_streams
         self.nfft = nfft
         self.hop = hop
         self.block_frames = block_frames
         self._lib = None if force_python else load()
-        self._out = np.zeros((n_streams, block_frames, nfft), np.float32)
+        self._out = (None if self._i16 else
+                     np.zeros((n_streams, block_frames, nfft), np.float32))
         self.span = (block_frames - 1) * hop + nfft
         self._out_span = None  # (N, span), allocated on first span assemble
         self._peaks = np.zeros(n_streams, np.float32)
         self._active = np.zeros(n_streams, np.float32)
         if self._lib is not None:
-            self._h = self._lib.hub_create(n_streams, nfft, hop, block_frames)
+            create = (self._lib.hub_create_i16 if self._i16
+                      else self._lib.hub_create)
+            self._h = create(n_streams, nfft, hop, block_frames)
             if not self._h:
                 raise RuntimeError("hub_create failed")
         else:
-            self._bufs = [np.zeros(0, np.float32) for _ in range(n_streams)]
+            self._bufs = [np.zeros(0, self.dtype) for _ in range(n_streams)]
             self._py_peaks = np.zeros(n_streams, np.float32)
 
     def __del__(self):
@@ -207,7 +231,7 @@ class StreamHub:
         if self._lib is not None:
             self._lib.hub_reset(self._h)
         else:
-            self._bufs = [np.zeros(0, np.float32) for _ in range(self.n)]
+            self._bufs = [np.zeros(0, self.dtype) for _ in range(self.n)]
             self._py_peaks[:] = 0.0
 
     def reset_stream(self, stream: int) -> None:
@@ -217,7 +241,7 @@ class StreamHub:
             if rc < 0:
                 raise ValueError(f"hub_reset_stream failed: rc={rc}")
         else:
-            self._bufs[stream] = np.zeros(0, np.float32)
+            self._bufs[stream] = np.zeros(0, self.dtype)
             self._py_peaks[stream] = 0.0
 
     def _ready_py(self, i: int) -> int:
@@ -225,18 +249,32 @@ class StreamHub:
         return 0 if n < self.nfft else 1 + (n - self.nfft) // self.hop
 
     def feed(self, stream: int, pcm: np.ndarray) -> int:
-        """Buffer samples; returns complete frames now buffered."""
-        pcm = np.ascontiguousarray(pcm, dtype=np.float32)
+        """Buffer samples; returns complete frames now buffered. An int16
+        hub requires int16 input (an implicit float->int16 cast would
+        silently truncate samples — the caller must quantize explicitly)."""
+        pcm = np.asarray(pcm)
+        if self._i16 and pcm.dtype != np.int16:
+            raise TypeError(f"int16 StreamHub.feed requires int16 PCM, "
+                            f"got {pcm.dtype}")
+        pcm = np.ascontiguousarray(pcm, dtype=self.dtype)
         if self._lib is not None:
-            rc = self._lib.hub_feed(
-                self._h, stream,
-                pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), len(pcm))
+            if self._i16:
+                rc = self._lib.hub_feed_i16(
+                    self._h, stream,
+                    pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                    len(pcm))
+            else:
+                rc = self._lib.hub_feed(
+                    self._h, stream,
+                    pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                    len(pcm))
             if rc < 0:
                 raise ValueError(f"hub_feed failed: rc={rc}")
             return int(rc)
         if pcm.size:
-            self._py_peaks[stream] = max(self._py_peaks[stream],
-                                         float(np.max(np.abs(pcm))))
+            # abs in float: np.abs(int16 -32768) overflows in-dtype
+            peak = float(np.max(np.abs(pcm.astype(np.float32))))
+            self._py_peaks[stream] = max(self._py_peaks[stream], peak)
         self._bufs[stream] = np.concatenate([self._bufs[stream], pcm])
         return self._ready_py(stream)
 
@@ -257,20 +295,28 @@ class StreamHub:
         buffered) — an audio-visual server gates on the video side having
         a full block. The returned arrays are reused across calls —
         consume (device_put) before the next assemble."""
+        if self._i16 and not span:
+            raise ValueError("int16 StreamHub supports the span wire only "
+                             "(frames assemble is float32)")
         if span and self._out_span is None:
-            self._out_span = np.zeros((self.n, self.span), np.float32)
+            self._out_span = np.zeros((self.n, self.span), self.dtype)
         out = self._out_span if span else self._out
         if self._lib is not None:
             fp = ctypes.POINTER(ctypes.c_float)
-            assemble_gated = (self._lib.hub_assemble_span_gated if span
-                              else self._lib.hub_assemble_gated)
+            if self._i16:
+                assemble_gated = self._lib.hub_assemble_span_gated_i16
+                out_p = out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
+            else:
+                assemble_gated = (self._lib.hub_assemble_span_gated if span
+                                  else self._lib.hub_assemble_gated)
+                out_p = out.ctypes.data_as(fp)
             if gate is not None:
                 gate = np.ascontiguousarray(gate, dtype=np.float32)
                 gate_p = gate.ctypes.data_as(fp)
             else:
                 gate_p = ctypes.cast(None, fp)
             n_active = assemble_gated(
-                self._h, gate_p, out.ctypes.data_as(fp),
+                self._h, gate_p, out_p,
                 self._peaks.ctypes.data_as(fp),
                 self._active.ctypes.data_as(fp))
             return out, self._peaks, self._active, int(n_active)

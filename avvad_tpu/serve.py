@@ -87,7 +87,12 @@ def _span_feats(spans, peaks, nfft, hop, n_frames, cos_b, sin_b, eps,
     bit-exact vs the frames wire. `hop_dft` skips framing entirely: one
     K=hop DFT per hop block + exact radix assembly (ops/stft.
     _dft_hop_blocks), ~nfft/hop fewer matmul FLOPs at fp32-rounding-level
-    agreement."""
+    agreement. `spans` may arrive as int16 PCM (the half-payload int16
+    wire): peak normalization divides by the int-domain running peak, so
+    the cast-then-divide below is bit-exact vs the float wire for
+    int16-origin sources (both are the once-rounded quotient of the same
+    real ratio)."""
+    spans = spans.astype(jnp.float32)
     if hop_dft:
         hp = jax.lax.Precision.HIGHEST
         x = spans / jnp.maximum(peaks[..., None], 1e-12)
@@ -284,7 +289,8 @@ class MultiStreamVAD(_MultiStreamBase):
                  mesh=None,
                  step_override=None,
                  span_wire: bool = False,
-                 hop_dft: bool = False):
+                 hop_dft: bool = False,
+                 audio_int16: bool = False):
         # step_override: replace the jitted model tick with an external
         # step of the same signature — e.g. a loaded serving-artifact
         # entry (export.load_multistream_server); `model` then only needs
@@ -294,11 +300,20 @@ class MultiStreamVAD(_MultiStreamBase):
         # smaller host->device payload; framing moves on-device,
         # bit-exact). hop_dft (requires span_wire): hop-block DFT frontend
         # on the span — no framing at all, ~nfft/hop fewer matmul FLOPs.
+        # audio_int16 (requires span_wire): buffer and ship raw int16 PCM
+        # — half the float span payload, bit-exact for 16-bit sources
+        # (peak normalization divides by the int-domain peak on device;
+        # see _span_feats). feed() then takes np.int16 samples.
         if hop_dft and not span_wire:
             raise ValueError("hop_dft frontend requires span_wire=True "
                              "(it consumes the contiguous sample span)")
+        if audio_int16 and not span_wire:
+            raise ValueError("audio_int16 requires span_wire=True (the "
+                             "frames wire is float32-only)")
         self.span_wire = span_wire
         self.hop_dft = hop_dft
+        self.audio_int16 = audio_int16
+        self._adtype = np.int16 if audio_int16 else np.float32
         self._init_streams(model, variables, n_streams, block_frames,
                            max_backlog_blocks, mesh)
         self.cfg = stft_cfg
@@ -309,7 +324,7 @@ class MultiStreamVAD(_MultiStreamBase):
         from .native import StreamHub
 
         self._hub = StreamHub(n_streams, self._nfft, self._hop, block_frames,
-                              force_python=not native)
+                              force_python=not native, dtype=self._adtype)
         cos_b, sin_b = _windowed_dft_bases(self._nfft)
         self._cos, self._sin = jnp.asarray(cos_b), jnp.asarray(sin_b)
         self._mean = _norm_stat(norm_stats, "audio_mean")
@@ -356,7 +371,7 @@ class MultiStreamVAD(_MultiStreamBase):
         sh = self._stream_sharding
         shape = ((self.n, self._hub.span) if self.span_wire
                  else (self.n, self.block_frames, self._nfft))
-        frames = _put_streams(jnp.zeros(shape), sh)
+        frames = _put_streams(jnp.zeros(shape, dtype=self._adtype), sh)
         probs, _ = self._step(self.variables, frames,
                               _put_streams(jnp.ones(self.n), sh),
                               _put_streams(jnp.zeros(self.n), sh),
@@ -364,19 +379,22 @@ class MultiStreamVAD(_MultiStreamBase):
         jax.block_until_ready(probs)
 
     def feed(self, stream_idx: int, pcm: np.ndarray) -> None:
-        """Buffer samples for one stream (no compute). Raises ValueError
-        when the stream's backlog exceeds max_backlog_blocks — a client
-        pushing far ahead of real time must not grow server memory without
-        bound (a tick consumes one block per stream, so the cap is the
-        drain rate times an ~8 s grace window at the default 16x16 ms)."""
+        """Buffer samples for one stream (no compute). With audio_int16
+        `pcm` must be np.int16 (the hub rejects implicit float casts).
+        Raises ValueError when the stream's backlog exceeds
+        max_backlog_blocks — a client pushing far ahead of real time must
+        not grow server memory without bound (a tick consumes one block
+        per stream, so the cap is the drain rate times an ~8 s grace
+        window at the default 16x16 ms)."""
         cap = self.max_backlog_blocks * self.block_frames
         # enforce on the POST-feed count (hub.feed returns it): checking
         # only the pre-feed state would let a single large message
         # overshoot the bound by its full size. On the raise the
         # offending samples are still buffered — the serving front drops
         # the connection, and reset_stream reclaims the slot.
-        if self._hub.feed(stream_idx, np.asarray(pcm, dtype=np.float32)) \
-                > cap:
+        pcm = (np.asarray(pcm) if self.audio_int16
+               else np.asarray(pcm, dtype=np.float32))
+        if self._hub.feed(stream_idx, pcm) > cap:
             raise ValueError(
                 f"stream {stream_idx} audio backlog exceeds "
                 f"{self.max_backlog_blocks} blocks")
@@ -642,10 +660,12 @@ class MultiStreamAVVAD(_MultiStreamBase, _CameraRateVideoMixin):
                  step_override=None,
                  span_wire: bool = False,
                  hop_dft: bool = False,
-                 video_fps: Optional[float] = None):
+                 video_fps: Optional[float] = None,
+                 audio_int16: bool = False):
         # step_override: see MultiStreamVAD (artifact-driven serving)
-        # span_wire / hop_dft: see MultiStreamVAD (raw sample span on the
-        # audio wire; hop-block DFT frontend on the span)
+        # span_wire / hop_dft / audio_int16: see MultiStreamVAD (raw
+        # sample span on the audio wire; hop-block DFT frontend on the
+        # span; half-payload int16 PCM span, bit-exact for 16-bit sources)
         # video_fps: CAMERA-RATE video ingestion — feed() then takes lip
         # frames at this source rate (e.g. the camera's native 30 fps);
         # each tick ships only the block's unique source frames plus a
@@ -657,8 +677,13 @@ class MultiStreamAVVAD(_MultiStreamBase, _CameraRateVideoMixin):
         if hop_dft and not span_wire:
             raise ValueError("hop_dft frontend requires span_wire=True "
                              "(it consumes the contiguous sample span)")
+        if audio_int16 and not span_wire:
+            raise ValueError("audio_int16 requires span_wire=True (the "
+                             "frames wire is float32-only)")
         self.span_wire = span_wire
         self.hop_dft = hop_dft
+        self.audio_int16 = audio_int16
+        self._adtype = np.int16 if audio_int16 else np.float32
         self._init_streams(model, variables, n_streams, block_frames,
                            max_backlog_blocks, mesh)
         self.cfg = stft_cfg
@@ -669,7 +694,7 @@ class MultiStreamAVVAD(_MultiStreamBase, _CameraRateVideoMixin):
         from .native import StreamHub
 
         self._hub = StreamHub(n_streams, self._nfft, self._hop, block_frames,
-                              force_python=not native)
+                              force_python=not native, dtype=self._adtype)
         cos_b, sin_b = _windowed_dft_bases(self._nfft)
         self._cos, self._sin = jnp.asarray(cos_b), jnp.asarray(sin_b)
 
@@ -743,7 +768,7 @@ class MultiStreamAVVAD(_MultiStreamBase, _CameraRateVideoMixin):
         sh = self._stream_sharding
         shape = ((self.n, self._hub.span) if self.span_wire
                  else (self.n, self.block_frames, self._nfft))
-        frames = _put_streams(jnp.zeros(shape), sh)
+        frames = _put_streams(jnp.zeros(shape, dtype=self._adtype), sh)
         video = _put_streams(
             jnp.zeros(self._vout.shape, dtype=self._vdtype), sh)
         extra = ((_put_streams(jnp.zeros_like(jnp.asarray(self._vidx)), sh),)
@@ -769,8 +794,9 @@ class MultiStreamAVVAD(_MultiStreamBase, _CameraRateVideoMixin):
         if pcm is not None and len(pcm):
             # post-feed enforcement (see MultiStreamVAD.feed): a single
             # large message must not overshoot the bound by its size
-            if self._hub.feed(stream_idx,
-                              np.asarray(pcm, dtype=np.float32)) > cap:
+            pcm = (np.asarray(pcm) if self.audio_int16
+                   else np.asarray(pcm, dtype=np.float32))
+            if self._hub.feed(stream_idx, pcm) > cap:
                 raise ValueError(
                     f"stream {stream_idx} audio backlog exceeds "
                     f"{self.max_backlog_blocks} blocks")

@@ -8,11 +8,15 @@ speech-probability frames out.
 
 Wire protocol (deliberately minimal):
   audio-only (MultiStreamVAD):
-    client -> server: raw float32 LE samples, any chunking (16 kHz mono)
+    client -> server: raw samples, any chunking (16 kHz mono) — float32
+                      LE, or int16 LE PCM when the streamer was built
+                      with audio_int16 (half the payload; bit-exact for
+                      16-bit sources)
   audio-visual (MultiStreamAVVAD):
     client -> server: framed messages  [1-byte type][u32 LE byte length]
                       [payload] — type b"A": float32 LE samples; type
-                      b"V": float32 LE 67x67 lip frames; type b"U":
+                      b"P": int16 LE PCM samples; type b"V": float32 LE
+                      67x67 lip frames; type b"U":
                       uint8 67x67 lip frames (any count per message).
                       Modalities interleave freely; the server holds a
                       stream back until both have a full block. Lip
@@ -20,7 +24,11 @@ Wire protocol (deliberately minimal):
                       wire carries them at 1/4 the payload — prefer it
                       for transfer-bound links (float "V" frames are
                       quantized server-side when the streamer runs the
-                      uint8 device path).
+                      uint8 device path). Likewise prefer "P" audio on an
+                      audio_int16 streamer: int16 PCM rides the device
+                      wire untouched, while "A" floats are quantized
+                      server-side (round-to-nearest, < 1/65536 error);
+                      on a float32 streamer "P" dequantizes exactly.
   server -> client (both modes): raw float32 LE per-frame speech
                     probabilities, in frame order, emitted as soon as
                     each block_frames block completes
@@ -63,6 +71,10 @@ class VADServer:
         self.streamer = streamer
         self._av = isinstance(streamer,
                               (MultiStreamAVVAD, MultiStreamVideoVAD))
+        # audio sample wire dtype follows the streamer (audio_int16)
+        self._a_int16 = bool(getattr(streamer, "audio_int16", False))
+        self._a_bytes = 2 if self._a_int16 else _BYTES_PER_SAMPLE
+        self._a_dt = "<i2" if self._a_int16 else "<f4"
         self._listener = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
         self._listener.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
         self._listener.bind((host, port))
@@ -150,9 +162,9 @@ class VADServer:
             if conn in self._partial:
                 self._partial[conn] = rest
             return
-        usable = len(buf) - (len(buf) % _BYTES_PER_SAMPLE)
+        usable = len(buf) - (len(buf) % self._a_bytes)
         if usable:
-            pcm = np.frombuffer(buf[:usable], dtype="<f4")
+            pcm = np.frombuffer(buf[:usable], dtype=self._a_dt)
             try:
                 self.streamer.feed(slot, pcm)
             except ValueError:
@@ -191,7 +203,7 @@ class VADServer:
         off = 0
         while len(buf) - off >= 5:
             mtype = buf[off:off + 1]
-            if mtype not in (b"A", b"V", b"U"):
+            if mtype not in (b"A", b"P", b"V", b"U"):
                 raise ValueError(f"bad message type {mtype!r}")
             length = int.from_bytes(buf[off + 1:off + 5], "little")
             if length > _MAX_MSG_BYTES:
@@ -205,8 +217,20 @@ class VADServer:
                     raise ValueError(f"A payload of {length} bytes is not "
                                      f"whole float32 samples")
                 if length:
-                    self.streamer.feed(
-                        slot, pcm=np.frombuffer(payload, dtype="<f4"))
+                    pcm = np.frombuffer(payload, dtype="<f4")
+                    if self._a_int16:  # quantize for the int16 device wire
+                        pcm = np.clip(np.round(pcm * 32768.0),
+                                      -32768, 32767).astype(np.int16)
+                    self.streamer.feed(slot, pcm=pcm)
+            elif mtype == b"P":
+                if length % 2:
+                    raise ValueError(f"P payload of {length} bytes is not "
+                                     f"whole int16 samples")
+                if length:
+                    pcm = np.frombuffer(payload, dtype="<i2")
+                    if not self._a_int16:  # exact dequant for the f32 wire
+                        pcm = pcm.astype(np.float32) / 32768.0
+                    self.streamer.feed(slot, pcm=pcm)
             elif mtype == b"V":
                 if length % _VIDEO_FRAME_BYTES:
                     raise ValueError(f"V payload of {length} bytes is not "
@@ -283,15 +307,31 @@ def av_frame(mtype: bytes, payload: bytes) -> bytes:
     return mtype + len(payload).to_bytes(4, "little") + payload
 
 
+def _wire_pcm(pcm: np.ndarray, audio_wire: str):
+    """-> (message type, wire bytes, bytes/sample) for an audio payload.
+    "i16" ships int16 PCM (type P, half the payload): int16 input rides
+    untouched; float input is quantized round-to-nearest."""
+    if audio_wire == "i16":
+        pcm = np.asarray(pcm)
+        if pcm.dtype != np.int16:
+            pcm = np.clip(np.round(np.asarray(pcm, np.float64) * 32768.0),
+                          -32768, 32767).astype(np.int16)
+        return b"P", pcm.astype("<i2").tobytes(), 2
+    return b"A", np.asarray(pcm, dtype="<f4").tobytes(), _BYTES_PER_SAMPLE
+
+
 def av_stream_client(address, pcm: np.ndarray, video: np.ndarray,
                      n_expected: int, chunk: int = 4000,
                      frames_per_msg: int = 16,
                      timeout: float = 30.0,
-                     video_wire: str = "f32") -> np.ndarray:
+                     video_wire: str = "f32",
+                     audio_wire: str = "f32") -> np.ndarray:
     """Minimal AV reference client: interleave framed PCM and 67x67 lip
     frames, collect n_expected probs. `video_wire="u8"` sends lip frames
-    as rounded uint8 (type U, 1/4 the payload)."""
-    pcm_b = np.asarray(pcm, dtype="<f4").tobytes()
+    as rounded uint8 (type U, 1/4 the payload); `audio_wire="i16"` sends
+    int16 PCM (type P, half the payload — pass int16 samples for a
+    lossless ride onto an audio_int16 server)."""
+    atype, pcm_b, a_sz = _wire_pcm(pcm, audio_wire)
     if video_wire == "u8":
         # one definition of the wire quantization (serve._to_wire_video),
         # shared with the server's V->uint8 ingest path
@@ -305,10 +345,10 @@ def av_stream_client(address, pcm: np.ndarray, video: np.ndarray,
         out = b""
         want = n_expected * _BYTES_PER_SAMPLE
         a_off, v_off = 0, 0
-        a_step = chunk * _BYTES_PER_SAMPLE
+        a_step = chunk * a_sz
         while a_off < len(pcm_b) or v_off < len(vid):
             if a_off < len(pcm_b):
-                s.sendall(av_frame(b"A", pcm_b[a_off:a_off + a_step]))
+                s.sendall(av_frame(atype, pcm_b[a_off:a_off + a_step]))
                 a_off += a_step
             if v_off < len(vid):
                 part = vid[v_off:v_off + frames_per_msg]
@@ -345,15 +385,18 @@ def video_stream_client(address, video: np.ndarray, n_expected: int,
 
 
 def stream_client(address, pcm: np.ndarray, n_expected: int,
-                  chunk: int = 4000, timeout: float = 30.0) -> np.ndarray:
-    """Minimal reference client: send pcm, collect n_expected probs."""
+                  chunk: int = 4000, timeout: float = 30.0,
+                  audio_wire: str = "f32") -> np.ndarray:
+    """Minimal reference client: send pcm, collect n_expected probs.
+    The raw protocol has no framing, so `audio_wire` must match the
+    server's streamer config ("i16" for an audio_int16 server)."""
     with socket.create_connection(address, timeout=timeout) as s:
         s.settimeout(timeout)
-        data = np.asarray(pcm, dtype="<f4").tobytes()
+        _, data, a_sz = _wire_pcm(pcm, audio_wire)
         out = b""
         want = n_expected * _BYTES_PER_SAMPLE
-        for off in range(0, len(data), chunk * _BYTES_PER_SAMPLE):
-            s.sendall(data[off: off + chunk * _BYTES_PER_SAMPLE])
+        for off in range(0, len(data), chunk * a_sz):
+            s.sendall(data[off: off + chunk * a_sz])
             try:
                 s.settimeout(0.0)
                 part = s.recv(1 << 20)

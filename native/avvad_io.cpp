@@ -204,15 +204,24 @@ int64_t frame_energy_vad(const float* x, int64_t n, int32_t nfft, int32_t hop,
 // per tick: frames for every ready stream are written straight into the
 // caller's pinned (N, block_frames, nfft) tensor.
 
-struct StreamBuf {
-  std::vector<float> samples;
+// Sample type is templated: the hub runs either float32 (the historical
+// wire) or int16 PCM end-to-end. int16 halves the span-wire payload on
+// the transfer-bound serving tick and is bit-exact for 16-bit sources:
+// peak normalization divides samples by the running |peak| in the SAME
+// domain, so fl(i/p) on the int16 wire equals fl((i/32768)/(p/32768)) on
+// the float wire — both are the once-rounded quotient of identical reals.
+extern "C++" {  // templates cannot carry C linkage
+
+template <typename T>
+struct StreamBufT {
+  std::vector<T> samples;
   size_t head = 0;  // consumed prefix (compacted lazily)
   float peak = 0.0f;
 
   size_t size() const { return samples.size() - head; }
-  const float* data() const { return samples.data() + head; }
+  const T* data() const { return samples.data() + head; }
 
-  void append(const float* pcm, int64_t n) {
+  void append(const T* pcm, int64_t n) {
     samples.insert(samples.end(), pcm, pcm + n);
   }
 
@@ -227,66 +236,137 @@ struct StreamBuf {
 
 struct StreamHub {
   int32_t n_streams, nfft, hop, block_frames;
-  std::vector<StreamBuf> bufs;
+  int32_t i16;  // 0 = float32 samples, 1 = int16 PCM
+  std::vector<StreamBufT<float>> bufs;
+  std::vector<StreamBufT<int16_t>> bufs16;
 };
 
-// Create a hub for n_streams streams framed at (nfft, hop) and served in
-// blocks of block_frames frames. Returns an opaque handle.
-void* hub_create(int32_t n_streams, int32_t nfft, int32_t hop,
-                 int32_t block_frames) {
-  if (n_streams <= 0 || nfft <= 0 || hop <= 0 || block_frames <= 0)
-    return nullptr;
-  auto* h = new StreamHub{n_streams, nfft, hop, block_frames, {}};
-  h->bufs.resize((size_t)n_streams);
-  return h;
-}
-
-void hub_destroy(void* hub) { delete (StreamHub*)hub; }
-
-void hub_reset(void* hub) {
-  auto* h = (StreamHub*)hub;
-  for (auto& b : h->bufs) {
+template <typename T>
+static void reset_bufs(std::vector<StreamBufT<T>>& bufs) {
+  for (auto& b : bufs) {
     b.samples.clear();
     b.head = 0;
     b.peak = 0.0f;
   }
 }
 
-// Reset one stream (connection recycling in the serving front).
-int32_t hub_reset_stream(void* hub, int32_t stream) {
-  auto* h = (StreamHub*)hub;
-  if (!h || stream < 0 || stream >= h->n_streams) return AVVAD_ERR_BADARG;
-  StreamBuf& b = h->bufs[(size_t)stream];
-  b.samples.clear();
-  b.head = 0;
-  b.peak = 0.0f;
-  return 0;
-}
-
-static int64_t frames_ready(const StreamHub* h, const StreamBuf& b) {
+template <typename T>
+static int64_t frames_ready(const StreamHub* h, const StreamBufT<T>& b) {
   if (b.size() < (size_t)h->nfft) return 0;
   return 1 + (int64_t)(b.size() - h->nfft) / h->hop;
 }
 
 // Buffer samples for one stream; updates the running peak. Returns the
 // number of complete frames now buffered, or a negative error code.
-int64_t hub_feed(void* hub, int32_t stream, const float* pcm, int64_t n) {
-  auto* h = (StreamHub*)hub;
+template <typename T>
+static int64_t hub_feed_impl(StreamHub* h, int32_t stream, const T* pcm,
+                             int64_t n, std::vector<StreamBufT<T>>& bufs) {
   if (!h || stream < 0 || stream >= h->n_streams || n < 0)
     return AVVAD_ERR_BADARG;
-  StreamBuf& b = h->bufs[(size_t)stream];
+  StreamBufT<T>& b = bufs[(size_t)stream];
   for (int64_t i = 0; i < n; ++i) {
-    float a = std::fabs(pcm[i]);
+    float a = std::fabs((float)pcm[i]);
     if (a > b.peak) b.peak = a;
   }
   b.append(pcm, n);
   return frames_ready(h, b);
 }
 
+template <typename T>
+static int32_t span_gated_impl(StreamHub* h, const float* gate, T* out,
+                               float* peaks_out, float* active_out,
+                               std::vector<StreamBufT<T>>& bufs) {
+  const int64_t bf = h->block_frames;
+  const int64_t span = (bf - 1) * h->hop + h->nfft;
+  int32_t n_active = 0;
+  for (int32_t s = 0; s < h->n_streams; ++s) {
+    StreamBufT<T>& b = bufs[(size_t)s];
+    peaks_out[s] = b.peak;
+    if ((gate && gate[s] == 0.0f) || frames_ready(h, b) < bf) {
+      active_out[s] = 0.0f;
+      continue;
+    }
+    std::memcpy(out + (int64_t)s * span, b.data(),
+                (size_t)span * sizeof(T));
+    b.consume((size_t)(bf * h->hop));
+    active_out[s] = 1.0f;
+    ++n_active;
+  }
+  return n_active;
+}
+
+}  // extern "C++"
+
+// Create a hub for n_streams streams framed at (nfft, hop) and served in
+// blocks of block_frames frames. Returns an opaque handle.
+static void* hub_create_impl(int32_t n_streams, int32_t nfft, int32_t hop,
+                             int32_t block_frames, int32_t i16) {
+  if (n_streams <= 0 || nfft <= 0 || hop <= 0 || block_frames <= 0)
+    return nullptr;
+  auto* h = new StreamHub{n_streams, nfft, hop, block_frames, i16, {}, {}};
+  if (i16)
+    h->bufs16.resize((size_t)n_streams);
+  else
+    h->bufs.resize((size_t)n_streams);
+  return h;
+}
+
+void* hub_create(int32_t n_streams, int32_t nfft, int32_t hop,
+                 int32_t block_frames) {
+  return hub_create_impl(n_streams, nfft, hop, block_frames, 0);
+}
+
+// int16-PCM hub: samples buffer and assemble as int16 (span wire only);
+// peaks report the running max |sample| in the int16 domain.
+void* hub_create_i16(int32_t n_streams, int32_t nfft, int32_t hop,
+                     int32_t block_frames) {
+  return hub_create_impl(n_streams, nfft, hop, block_frames, 1);
+}
+
+void hub_destroy(void* hub) { delete (StreamHub*)hub; }
+
+void hub_reset(void* hub) {
+  auto* h = (StreamHub*)hub;
+  reset_bufs(h->bufs);
+  reset_bufs(h->bufs16);
+}
+
+// Reset one stream (connection recycling in the serving front).
+int32_t hub_reset_stream(void* hub, int32_t stream) {
+  auto* h = (StreamHub*)hub;
+  if (!h || stream < 0 || stream >= h->n_streams) return AVVAD_ERR_BADARG;
+  if (h->i16) {
+    StreamBufT<int16_t>& b = h->bufs16[(size_t)stream];
+    b.samples.clear();
+    b.head = 0;
+    b.peak = 0.0f;
+  } else {
+    StreamBufT<float>& b = h->bufs[(size_t)stream];
+    b.samples.clear();
+    b.head = 0;
+    b.peak = 0.0f;
+  }
+  return 0;
+}
+
+int64_t hub_feed(void* hub, int32_t stream, const float* pcm, int64_t n) {
+  auto* h = (StreamHub*)hub;
+  if (!h || h->i16) return AVVAD_ERR_BADARG;
+  return hub_feed_impl(h, stream, pcm, n, h->bufs);
+}
+
+int64_t hub_feed_i16(void* hub, int32_t stream, const int16_t* pcm,
+                     int64_t n) {
+  auto* h = (StreamHub*)hub;
+  if (!h || !h->i16) return AVVAD_ERR_BADARG;
+  return hub_feed_impl(h, stream, pcm, n, h->bufs16);
+}
+
 int64_t hub_frames_ready(void* hub, int32_t stream) {
   auto* h = (StreamHub*)hub;
   if (!h || stream < 0 || stream >= h->n_streams) return AVVAD_ERR_BADARG;
-  return frames_ready(h, h->bufs[(size_t)stream]);
+  return h->i16 ? frames_ready(h, h->bufs16[(size_t)stream])
+                : frames_ready(h, h->bufs[(size_t)stream]);
 }
 
 // One serving tick: for every stream with >= block_frames complete frames,
@@ -303,13 +383,13 @@ int64_t hub_frames_ready(void* hub, int32_t stream) {
 int32_t hub_assemble_gated(void* hub, const float* gate, float* out,
                            float* peaks_out, float* active_out) {
   auto* h = (StreamHub*)hub;
-  if (!h) return AVVAD_ERR_BADARG;
+  if (!h || h->i16) return AVVAD_ERR_BADARG;  // frames wire is f32-only
   const int64_t bf = h->block_frames;
   const int64_t frame_stride = h->nfft;
   const int64_t stream_stride = bf * frame_stride;
   int32_t n_active = 0;
   for (int32_t s = 0; s < h->n_streams; ++s) {
-    StreamBuf& b = h->bufs[(size_t)s];
+    StreamBufT<float>& b = h->bufs[(size_t)s];
     peaks_out[s] = b.peak;
     if ((gate && gate[s] == 0.0f) || frames_ready(h, b) < bf) {
       active_out[s] = 0.0f;
@@ -344,24 +424,19 @@ int32_t hub_assemble(void* hub, float* out, float* peaks_out,
 int32_t hub_assemble_span_gated(void* hub, const float* gate, float* out,
                                 float* peaks_out, float* active_out) {
   auto* h = (StreamHub*)hub;
-  if (!h) return AVVAD_ERR_BADARG;
-  const int64_t bf = h->block_frames;
-  const int64_t span = (bf - 1) * h->hop + h->nfft;
-  int32_t n_active = 0;
-  for (int32_t s = 0; s < h->n_streams; ++s) {
-    StreamBuf& b = h->bufs[(size_t)s];
-    peaks_out[s] = b.peak;
-    if ((gate && gate[s] == 0.0f) || frames_ready(h, b) < bf) {
-      active_out[s] = 0.0f;
-      continue;
-    }
-    std::memcpy(out + (int64_t)s * span, b.data(),
-                (size_t)span * sizeof(float));
-    b.consume((size_t)(bf * h->hop));
-    active_out[s] = 1.0f;
-    ++n_active;
-  }
-  return n_active;
+  if (!h || h->i16) return AVVAD_ERR_BADARG;
+  return span_gated_impl(h, gate, out, peaks_out, active_out, h->bufs);
+}
+
+// int16 span wire: half the host->device payload of the float32 span at
+// identical (bit-exact, for int16-origin sources) downstream numerics —
+// the device frontend casts to f32 and divides by the int-domain peak.
+int32_t hub_assemble_span_gated_i16(void* hub, const float* gate,
+                                    int16_t* out, float* peaks_out,
+                                    float* active_out) {
+  auto* h = (StreamHub*)hub;
+  if (!h || !h->i16) return AVVAD_ERR_BADARG;
+  return span_gated_impl(h, gate, out, peaks_out, active_out, h->bufs16);
 }
 
 }  // extern "C"

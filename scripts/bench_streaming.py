@@ -35,14 +35,16 @@ from avvad_tpu.serve import MultiStreamVAD
 
 
 def make_server(n_streams: int, block_frames: int, native: bool,
-                span_wire: bool = False, hop_dft: bool = False):
+                span_wire: bool = False, hop_dft: bool = False,
+                audio_int16: bool = False):
     model = AudioVAD(y_dim=1, lstm_hidden_size=1024, lstm_layers=2,
                      use_pallas_lstm=True)
     feats = jnp.zeros((n_streams, block_frames, 513), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), feats)
     return MultiStreamVAD(model, variables, n_streams,
                           block_frames=block_frames, native=native,
-                          span_wire=span_wire, hop_dft=hop_dft)
+                          span_wire=span_wire, hop_dft=hop_dft,
+                          audio_int16=audio_int16)
 
 
 def run(server: MultiStreamVAD, n_ticks: int, chunk: np.ndarray,
@@ -71,7 +73,8 @@ def run(server: MultiStreamVAD, n_ticks: int, chunk: np.ndarray,
 def make_av_server(n_streams: int, block_frames: int, int8: bool = False,
                    u8_wire: bool = False, pallas_tower: bool = False,
                    mcb_hoist: bool = False, span_wire: bool = False,
-                   hop_dft: bool = False, video_fps: float = 0.0):
+                   hop_dft: bool = False, video_fps: float = 0.0,
+                   audio_int16: bool = False):
     from avvad_tpu.models import AVVAD
     from avvad_tpu.serve import MultiStreamAVVAD
 
@@ -105,7 +108,8 @@ def make_av_server(n_streams: int, block_frames: int, int8: bool = False,
     return MultiStreamAVVAD(model, variables, n_streams,
                             block_frames=block_frames, video_uint8=u8_wire,
                             span_wire=span_wire, hop_dft=hop_dft,
-                            video_fps=video_fps or None)
+                            video_fps=video_fps or None,
+                            audio_int16=audio_int16)
 
 
 def run_av(server, n_ticks: int, chunk: np.ndarray,
@@ -166,6 +170,9 @@ def main():
     ap.add_argument("--hop-dft", action="store_true",
                     help="hop-block DFT frontend on the span (implies "
                          "--audio-span; ~4x fewer frontend matmul FLOPs)")
+    ap.add_argument("--audio-int16", action="store_true",
+                    help="int16 PCM span wire (implies --audio-span): half "
+                         "the audio payload, bit-exact for 16-bit sources")
     ap.add_argument("--av-video-fps", type=float, default=0.0,
                     help="camera-rate AV video wire (e.g. 30): source-rate "
                          "frames on the wire, tower on unique frames, "
@@ -174,6 +181,8 @@ def main():
     if args.av_video_fps:
         args.av = True
     if args.hop_dft:
+        args.audio_span = True
+    if args.audio_int16:
         args.audio_span = True
     if args.av_pallas:
         args.av_int8 = True
@@ -185,6 +194,10 @@ def main():
     rng = np.random.default_rng(0)
     # one block of fresh audio per stream per tick
     chunk = rng.normal(size=args.block_frames * hop).astype(np.float32) * 0.1
+    # int16 wire benches feed the same samples quantized to the int16 grid
+    chunk_i = np.clip(np.round(chunk * 32768.0), -32768, 32767) \
+        .astype(np.int16)
+    wire_chunk = chunk_i if args.audio_int16 else chunk
 
     # host-side assembly alone (no device): native hub vs python fallback
     for native in (True, False):
@@ -202,12 +215,14 @@ def main():
         print(f"host assembly ({kind:6s}): {dt * 1e3:7.2f} ms/tick")
 
     srv = make_server(args.streams, args.block_frames, native=True,
-                      span_wire=args.audio_span, hop_dft=args.hop_dft)
+                      span_wire=args.audio_span, hop_dft=args.hop_dft,
+                      audio_int16=args.audio_int16)
     wire = "".join([" span" if args.audio_span else "",
-                    " hop-dft" if args.hop_dft else ""])
+                    " hop-dft" if args.hop_dft else "",
+                    " i16" if args.audio_int16 else ""])
     for mode, fetch in (("sync", True), ("lazy", False)):
         srv.reset()
-        dt = run(srv, args.ticks, chunk, fetch)
+        dt = run(srv, args.ticks, wire_chunk, fetch)
         agg = args.streams * block_sec / dt
         budget = block_sec / dt
         print(f"tick ({mode}{wire}): {dt * 1e3:6.1f} ms | {args.streams} "
@@ -222,8 +237,9 @@ def main():
                             pallas_tower=args.av_pallas,
                             mcb_hoist=args.av_mcb_hoist,
                             span_wire=args.audio_span, hop_dft=args.hop_dft,
-                            video_fps=args.av_video_fps)
-        dt = run_av(av, args.ticks, chunk, vchunk,
+                            video_fps=args.av_video_fps,
+                            audio_int16=args.audio_int16)
+        dt = run_av(av, args.ticks, wire_chunk, vchunk,
                     video_fps=args.av_video_fps)
         agg = args.streams * block_sec / dt
         budget = block_sec / dt

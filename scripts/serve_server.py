@@ -3,9 +3,9 @@
 
 Serves a trained checkpoint over TCP, one connection per stream. Audio
 mode (AudioVAD): raw float32 LE PCM in. Audio-visual mode (AVVAD,
---modality av): framed messages ([type][u32 len][payload], A = PCM,
-V = 67x67 float32 lip frames, U = uint8 lip frames) interleaved per
-connection. Video-only mode (VideoVAD, --modality video): the framed
+--modality av): framed messages ([type][u32 len][payload], A = float32
+PCM, P = int16 PCM, V = 67x67 float32 lip frames, U = uint8 lip frames)
+interleaved per connection. Video-only mode (VideoVAD, --modality video): the framed
 protocol restricted to V/U messages. All emit raw float32 LE per-frame
 speech probabilities (see avvad_tpu.server for the wire protocol). A serving capability the reference lacks entirely (its
 closest analogue is the batch prediction writer,
@@ -58,6 +58,13 @@ def main():
                         "Default ON for audio/av: the server's sync ticks "
                         "measured 46.1 -> 41.5 ms at 32 streams "
                         "(BENCH_NOTES round-3 hardware results)")
+    p.add_argument("--audio-int16", action="store_true",
+                   help="int16 PCM device wire (requires the span audio "
+                        "wire): half the audio payload, bit-exact for "
+                        "16-bit sources; clients should send type-P "
+                        "(int16) audio messages, or raw int16 in audio "
+                        "mode — float A payloads are quantized "
+                        "server-side")
     p.add_argument("--hop-dft", action=argparse.BooleanOptionalAction,
                    default=None,
                    help="hop-block DFT frontend on the span (implies "
@@ -88,6 +95,10 @@ def main():
     if args.hop_dft and not args.audio_span:
         p.error("--hop-dft requires the span audio wire (drop "
                 "--no-audio-span or pass --no-hop-dft)")
+    if args.audio_int16 and not args.audio_span:
+        p.error("--audio-int16 requires the span audio wire")
+    if args.audio_int16 and args.modality == "video":
+        p.error("--audio-int16 applies to audio/av modalities only")
     if args.audio_span and args.modality == "video":
         p.error("--audio-span applies to audio/av modalities only")
 
@@ -164,7 +175,8 @@ def main():
         mesh = make_mesh(n_data=args.data_parallel, n_model=1)
         print(f"serving mesh: streams sharded over {args.data_parallel} "
               "devices")
-    wire_kw = ({"span_wire": args.audio_span, "hop_dft": args.hop_dft}
+    wire_kw = ({"span_wire": args.audio_span, "hop_dft": args.hop_dft,
+                "audio_int16": args.audio_int16}
                if args.modality != "video" else {})
     if args.video_fps:
         if args.modality == "audio":

@@ -509,3 +509,38 @@ def test_artifact_av_camera_rate_server_round_trip(tmp_path):
         assert set(want) == set(got) == {0, 1}
         for k in want:
             np.testing.assert_allclose(got[k], want[k], atol=1e-6)
+
+
+def test_artifact_server_round_trip_audio_int16(tmp_path):
+    """An audio_int16 span-wire server exports with an int16 (N, span)
+    tick input, records the wire in its geometry, and rebuilds a server
+    that accepts int16 feeds and matches the live one exactly."""
+    from avvad_tpu.export import (ServingArtifact,
+                                  export_multistream_server,
+                                  load_multistream_server)
+    from avvad_tpu.models import AudioVAD
+    from avvad_tpu.serve import MultiStreamVAD
+
+    model = AudioVAD(lstm_hidden_size=16, lstm_layers=2)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 513)))
+    live = MultiStreamVAD(model, variables, n_streams=2, block_frames=4,
+                          span_wire=True, audio_int16=True)
+
+    p = str(tmp_path / "i16_server.avvadx")
+    export_multistream_server(live, p)
+    loaded = load_multistream_server(p)
+    assert loaded.audio_int16 and loaded.span_wire
+    art = ServingArtifact.load(p)
+    assert art.input_shapes("tick")[0] == (2, live._hub.span)
+    assert art.meta["multistream"]["audio_int16"] is True
+
+    rng = np.random.default_rng(0)
+    pcm0 = rng.integers(-32768, 32768, size=1024 + 256 * 3, dtype=np.int16)
+    pcm1 = rng.integers(-32768, 32768, size=1024 + 256 * 7, dtype=np.int16)
+    for srv in (live, loaded):
+        srv.feed(0, pcm0)
+        srv.feed(1, pcm1)
+    want, got = live.tick(), loaded.tick()
+    assert set(want) == set(got) == {0, 1}
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], atol=1e-6)

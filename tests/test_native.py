@@ -126,3 +126,55 @@ def test_stream_hub_gated_assemble(lib):
         # stream 1's deferred block must match across implementations
         np.testing.assert_allclose(results[False][1][1], results[True][1][1],
                                    atol=0)
+
+
+def test_stream_hub_int16_span(lib):
+    """int16 hub (native and python paths): span assemble returns int16
+    blocks whose peak-normalized quotient is bit-identical to the float32
+    hub fed the same int16-origin samples; gate/consume semantics match;
+    float feeds and frames assemble are rejected."""
+    from avvad_tpu.native import StreamHub
+
+    rng = np.random.default_rng(11)
+    nfft, hop, bf = 16, 4, 3
+    need = (bf - 1) * hop + nfft + hop
+    pcm_i = [rng.integers(-32768, 32768, size=need, dtype=np.int16)
+             for _ in range(3)]
+    # include the most negative sample: |−32768| must not overflow in-dtype
+    pcm_i[0][0] = -32768
+
+    for force_py in (False, True):
+        hub_f = StreamHub(3, nfft, hop, bf, force_python=force_py)
+        hub_i = StreamHub(3, nfft, hop, bf, force_python=force_py,
+                          dtype=np.int16)
+        if not force_py and not hub_i.is_native:
+            continue
+        for i, x in enumerate(pcm_i):
+            hub_f.feed(i, x.astype(np.float32) / 32768.0)
+            hub_i.feed(i, x)
+        gate = np.array([1.0, 0.0, 1.0], np.float32)
+        sp_f, pk_f, ac_f, n_f = hub_f.assemble(gate=gate, span=True)
+        sp_i, pk_i, ac_i, n_i = hub_i.assemble(gate=gate, span=True)
+        assert sp_i.dtype == np.int16
+        assert n_f == n_i == 2
+        np.testing.assert_array_equal(ac_f, ac_i)
+        # int-domain peak: max |sample| including |-32768|
+        assert pk_i[0] == float(np.abs(pcm_i[0].astype(np.int32)).max())
+        for s in (0, 2):
+            qf = sp_f[s] / pk_f[s]
+            qi = sp_i[s].astype(np.float32) / pk_i[s]
+            np.testing.assert_array_equal(qf, qi)
+        # gated-out stream kept its samples; deferred block matches
+        assert hub_i.frames_ready(1) >= bf
+        sp_i2, _, ac_i2, _ = hub_i.assemble(span=True)
+        sp_f2, pk_f2, ac_f2, _ = hub_f.assemble(span=True)
+        assert ac_i2[1] == ac_f2[1] == 1.0
+        np.testing.assert_array_equal(
+            sp_f2[1] / pk_f2[1], sp_i2[1].astype(np.float32) / pk_i[1])
+        with pytest.raises(TypeError):
+            hub_i.feed(0, np.zeros(8, np.float32))
+        with pytest.raises(ValueError):
+            hub_i.assemble()
+        with pytest.raises(ValueError):
+            StreamHub(3, nfft, hop, bf, force_python=force_py,
+                      dtype=np.float64)

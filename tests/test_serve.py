@@ -605,3 +605,101 @@ def test_multistream_video_camera_rate_bitexact():
         assert len(base[i]) >= 6 * bf
         assert len(cam[i]) == len(base[i])
         np.testing.assert_array_equal(cam[i], base[i])
+
+
+def test_multistream_int16_wire_bitexact(ref_subset):
+    """audio_int16 span wire: feeding raw int16 PCM must produce
+    BIT-identical probabilities to the float32 wire fed the same
+    int16-origin samples — the device frontend divides the cast samples
+    by the int-domain peak, the once-rounded quotient of the same real
+    ratio. Also composes with hop_dft, and rejects float feeds and
+    non-span construction."""
+    import pytest
+
+    from avvad_tpu.serve import MultiStreamVAD
+
+    wavs = sorted(glob.glob(os.path.join(
+        ref_subset, "processed/ntcd_timit/Clean/**/*.wav"), recursive=True))[:3]
+    # wav fixtures are 16-bit PCM: recover the exact int16 grid
+    sig_f = [read_wav(w)[0][:12000] for w in wavs]
+    sig_i = [np.round(x * 32768.0).astype(np.int16) for x in sig_f]
+    for f, i in zip(sig_f, sig_i):
+        np.testing.assert_array_equal(i.astype(np.float32) / 32768.0, f)
+    model, variables = _model_and_vars(h=8, layers=2)
+
+    def run(signals, **kw):
+        ms = MultiStreamVAD(model, variables, n_streams=3, block_frames=8,
+                            max_backlog_blocks=256, span_wire=True, **kw)
+        for i, x in enumerate(signals):
+            ms.feed(i, x)
+        out = [[] for _ in range(3)]
+        while True:
+            r = ms.tick()
+            if not r:
+                break
+            for i, p in r.items():
+                out[i].append(p)
+        return [np.concatenate(o) for o in out]
+
+    base = run(sig_f)
+    i16 = run(sig_i, audio_int16=True)
+    for i in range(3):
+        np.testing.assert_array_equal(i16[i], base[i])
+
+    i16_hop = run(sig_i, audio_int16=True, hop_dft=True)
+    base_hop = run(sig_f, hop_dft=True)
+    for i in range(3):
+        np.testing.assert_array_equal(i16_hop[i], base_hop[i])
+
+    with pytest.raises(ValueError, match="span_wire"):
+        MultiStreamVAD(model, variables, n_streams=3, audio_int16=True)
+    ms = MultiStreamVAD(model, variables, n_streams=3, span_wire=True,
+                        audio_int16=True)
+    with pytest.raises(TypeError, match="int16"):
+        ms.feed(0, sig_f[0])
+
+
+def test_multistream_av_int16_wire_bitexact():
+    """AV audio_int16 + uint8 video: bit-identical to the float32 span
+    wire, including a video-lagging stream (the int16 gated span assemble
+    must hold samples exactly like the float one)."""
+    from avvad_tpu.models import AVVAD
+    from avvad_tpu.serve import MultiStreamAVVAD
+
+    rng = np.random.default_rng(13)
+    cfg = STFTConfig()
+    bf = 8
+    sig_i = [rng.integers(-32768, 32768, size=n, dtype=np.int16)
+             for n in (9000, 7000)]
+    sig_f = [x.astype(np.float32) / 32768.0 for x in sig_i]
+    videos = [np.round(rng.random((30, 67, 67)) * 255).astype(np.float32)
+              for _ in sig_i]
+
+    model = AVVAD(y_dim=1, lstm_hidden_size=8, lstm_layers=1, use_mcb=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 513)),
+                           jnp.zeros((1, 4, 67, 67)))
+
+    def run(signals, **kw):
+        ms = MultiStreamAVVAD(model, variables, n_streams=2, stft_cfg=cfg,
+                              block_frames=bf, video_uint8=True,
+                              span_wire=True, **kw)
+        ms.feed(0, pcm=signals[0], video_frames=videos[0])
+        ms.feed(1, pcm=signals[1])  # video drips: exercises the gate
+        out = [[] for _ in range(2)]
+        v1 = 0
+        for _ in range(16):
+            if v1 < len(videos[1]):
+                ms.feed(1, video_frames=videos[1][v1:v1 + bf])
+                v1 += bf
+            r = ms.tick()
+            if not r and v1 >= len(videos[1]):
+                break
+            for i, p in r.items():
+                out[i].append(p)
+        return [np.concatenate(o) if o else np.zeros(0) for o in out]
+
+    base = run(sig_f)
+    i16 = run(sig_i, audio_int16=True)
+    for i in range(2):
+        assert len(base[i]) > 0
+        np.testing.assert_array_equal(i16[i], base[i])

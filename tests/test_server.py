@@ -506,3 +506,79 @@ def test_server_round_trip_span_wire_matches_frames_wire():
     base = serve_once()
     span = serve_once(span_wire=True)
     np.testing.assert_array_equal(span, base)
+
+
+def test_server_round_trip_int16_wire_matches_f32():
+    """An audio_int16 server fed raw int16 PCM must serve BIT-identical
+    probabilities to the float32 server fed the same int16-origin
+    samples; float "A"-style raw feeds are impossible on the raw wire
+    (dtype is fixed by server config), so also check the framed AV "P"
+    message path dequantizes exactly onto a float32 streamer."""
+    from avvad_tpu.models import AVVAD
+    from avvad_tpu.serve import MultiStreamAVVAD
+    from avvad_tpu.server import av_stream_client
+
+    model, variables = _model_and_vars(h=8, layers=1)
+    bf = 8
+    sig_f = _signals(1)[0]
+    sig_i = np.clip(np.round(sig_f.astype(np.float64) * 32768.0),
+                    -32768, 32767).astype(np.int16)
+    sig_fq = sig_i.astype(np.float32) / 32768.0  # int16-grid float twin
+
+    def serve_once(sig, audio_wire="f32", **kw):
+        ms = MultiStreamVAD(model, variables, n_streams=2, block_frames=bf,
+                            span_wire=True, **kw)
+        server = VADServer(ms)
+        t = threading.Thread(target=server.serve_forever,
+                             kwargs={"timeout": 0.002}, daemon=True)
+        t.start()
+        try:
+            cfg = ms.cfg
+            n_frames = 1 + (len(sig) - cfg.nfft) // cfg.hopsamp
+            n_out = (n_frames // bf) * bf
+            return stream_client(server.address, sig, n_out,
+                                 audio_wire=audio_wire)
+        finally:
+            server.stop()
+            t.join(timeout=10)
+            server.close()
+
+    base = serve_once(sig_fq)
+    i16 = serve_once(sig_i, audio_wire="i16", audio_int16=True)
+    np.testing.assert_array_equal(i16, base)
+
+    # framed protocol: "P" int16 messages onto an int16 AV streamer match
+    # "A" float messages of the grid twin onto a float32 AV streamer
+    av_model = AVVAD(y_dim=1, lstm_hidden_size=8, lstm_layers=1,
+                     use_mcb=True)
+    av_vars = av_model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 513)),
+                            jnp.zeros((1, 4, 67, 67)))
+    rng = np.random.default_rng(3)
+    video = np.round(rng.random((40, 67, 67)) * 255).astype(np.float32)
+
+    def serve_av_once(sig, audio_wire="f32", **kw):
+        ms = MultiStreamAVVAD(av_model, av_vars, n_streams=2,
+                              block_frames=bf, span_wire=True,
+                              video_uint8=True, **kw)
+        server = VADServer(ms)
+        t = threading.Thread(target=server.serve_forever,
+                             kwargs={"timeout": 0.002}, daemon=True)
+        t.start()
+        try:
+            cfg = ms.cfg
+            n_frames = 1 + (len(sig) - cfg.nfft) // cfg.hopsamp
+            n_out = min((n_frames // bf) * bf, (len(video) // bf) * bf)
+            return av_stream_client(server.address, sig, video, n_out,
+                                    audio_wire=audio_wire,
+                                    video_wire="u8")
+        finally:
+            server.stop()
+            t.join(timeout=10)
+            server.close()
+
+    av_base = serve_av_once(sig_fq)
+    av_i16 = serve_av_once(sig_i, audio_wire="i16", audio_int16=True)
+    np.testing.assert_array_equal(av_i16, av_base)
+    # "P" messages dequantize exactly onto a FLOAT32 streamer too
+    av_p_on_f32 = serve_av_once(sig_i, audio_wire="i16")
+    np.testing.assert_array_equal(av_p_on_f32, av_base)
