@@ -118,6 +118,9 @@ class ServingArtifact:
     def input_shapes(self, name: str):
         return [tuple(a.shape) for a in self.entries[name].in_avals]
 
+    def input_dtypes(self, name: str):
+        return [a.dtype for a in self.entries[name].in_avals]
+
     def __contains__(self, name: str) -> bool:
         return name in self.entries
 

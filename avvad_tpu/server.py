@@ -219,8 +219,7 @@ class VADServer:
                 if length:
                     pcm = np.frombuffer(payload, dtype="<f4")
                     if self._a_int16:  # quantize for the int16 device wire
-                        pcm = np.clip(np.round(pcm * 32768.0),
-                                      -32768, 32767).astype(np.int16)
+                        pcm = quantize_pcm_int16(pcm)
                     self.streamer.feed(slot, pcm=pcm)
             elif mtype == b"P":
                 if length % 2:
@@ -307,6 +306,17 @@ def av_frame(mtype: bytes, payload: bytes) -> bytes:
     return mtype + len(payload).to_bytes(4, "little") + payload
 
 
+def quantize_pcm_int16(pcm: np.ndarray) -> np.ndarray:
+    """Float PCM -> int16 grid: float64 multiply, round-to-nearest, clip.
+
+    The one quantizer for every float->int16 hop (server A-message
+    handler, client wire helper, benchmarks): rounding in float64 keeps
+    samples near an LSB boundary from landing on different sides
+    depending on which side of the wire quantized them."""
+    return np.clip(np.round(np.asarray(pcm, np.float64) * 32768.0),
+                   -32768, 32767).astype(np.int16)
+
+
 def _wire_pcm(pcm: np.ndarray, audio_wire: str):
     """-> (message type, wire bytes, bytes/sample) for an audio payload.
     "i16" ships int16 PCM (type P, half the payload): int16 input rides
@@ -314,8 +324,7 @@ def _wire_pcm(pcm: np.ndarray, audio_wire: str):
     if audio_wire == "i16":
         pcm = np.asarray(pcm)
         if pcm.dtype != np.int16:
-            pcm = np.clip(np.round(np.asarray(pcm, np.float64) * 32768.0),
-                          -32768, 32767).astype(np.int16)
+            pcm = quantize_pcm_int16(pcm)
         return b"P", pcm.astype("<i2").tobytes(), 2
     return b"A", np.asarray(pcm, dtype="<f4").tobytes(), _BYTES_PER_SAMPLE
 

@@ -32,6 +32,7 @@ import numpy as np
 
 from avvad_tpu.models import AudioVAD
 from avvad_tpu.serve import MultiStreamVAD
+from avvad_tpu.server import quantize_pcm_int16
 
 
 def make_server(n_streams: int, block_frames: int, native: bool,
@@ -195,8 +196,7 @@ def main():
     # one block of fresh audio per stream per tick
     chunk = rng.normal(size=args.block_frames * hop).astype(np.float32) * 0.1
     # int16 wire benches feed the same samples quantized to the int16 grid
-    chunk_i = np.clip(np.round(chunk * 32768.0), -32768, 32767) \
-        .astype(np.int16)
+    chunk_i = quantize_pcm_int16(chunk)
     wire_chunk = chunk_i if args.audio_int16 else chunk
 
     # host-side assembly alone (no device): native hub vs python fallback

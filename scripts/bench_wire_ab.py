@@ -26,6 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+from avvad_tpu.server import quantize_pcm_int16  # noqa: E402
 from bench_streaming import make_av_server, make_server, run, run_av  # noqa: E402
 
 
@@ -48,8 +49,7 @@ def main():
     block_sec = args.block_frames * hop / 16000.0
     rng = np.random.default_rng(0)
     chunk = rng.normal(size=args.block_frames * hop).astype(np.float32) * 0.1
-    chunk_i = np.clip(np.round(chunk * 32768.0), -32768, 32767) \
-        .astype(np.int16)
+    chunk_i = quantize_pcm_int16(chunk)
 
     arms = {}
     if args.av:
@@ -73,7 +73,7 @@ def main():
                 s, args.ticks, c, True))
 
     # compile + warm both arms before any timed round
-    for name, (srv, timed) in arms.items():
+    for name, (_, timed) in arms.items():
         t0 = time.perf_counter()
         timed()
         print(f"warm {name}: {time.perf_counter() - t0:.1f} s "

@@ -5,9 +5,10 @@ Serves a trained checkpoint over TCP, one connection per stream. Audio
 mode (AudioVAD): raw float32 LE PCM in. Audio-visual mode (AVVAD,
 --modality av): framed messages ([type][u32 len][payload], A = float32
 PCM, P = int16 PCM, V = 67x67 float32 lip frames, U = uint8 lip frames)
-interleaved per connection. Video-only mode (VideoVAD, --modality video): the framed
-protocol restricted to V/U messages. All emit raw float32 LE per-frame
-speech probabilities (see avvad_tpu.server for the wire protocol). A serving capability the reference lacks entirely (its
+interleaved per connection. Video-only mode (VideoVAD, --modality
+video): the framed protocol restricted to V/U messages. All emit raw
+float32 LE per-frame speech probabilities (see avvad_tpu.server for the
+wire protocol). A serving capability the reference lacks entirely (its
 closest analogue is the batch prediction writer,
 evaluate_audio_net.py:107-180).
 

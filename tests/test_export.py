@@ -544,3 +544,49 @@ def test_artifact_server_round_trip_audio_int16(tmp_path):
     assert set(want) == set(got) == {0, 1}
     for k in want:
         np.testing.assert_allclose(got[k], want[k], atol=1e-6)
+
+
+def test_artifact_av_server_round_trip_audio_int16(tmp_path):
+    """The AV export path with audio_int16 (span wire + uint8 video):
+    the exported tick's audio input must be int16 (N, span), the wire
+    flags must survive the geometry round trip, and the rebuilt server
+    must match the live one on int16 PCM + uint8 lip-frame feeds."""
+    from avvad_tpu.export import (ServingArtifact,
+                                  export_multistream_server,
+                                  load_multistream_server)
+    from avvad_tpu.models import AVVAD
+    from avvad_tpu.serve import MultiStreamAVVAD
+
+    model = AVVAD(y_dim=1, lstm_hidden_size=8, lstm_layers=1, use_mcb=True)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 513)),
+                           jnp.zeros((1, 4, 67, 67)))
+    live = MultiStreamAVVAD(model, variables, n_streams=2, block_frames=4,
+                            span_wire=True, audio_int16=True,
+                            video_uint8=True)
+
+    p = str(tmp_path / "av_i16_server.avvadx")
+    export_multistream_server(live, p)
+    loaded = load_multistream_server(p)
+    assert loaded.audio_int16 and loaded.span_wire and loaded.video_uint8
+    art = ServingArtifact.load(p)
+    shapes = art.input_shapes("tick")
+    assert shapes[0] == (2, live._hub.span)
+    assert art.meta["multistream"]["audio_int16"] is True
+    # dtype of the exported audio input is the int16 wire itself
+    assert np.dtype(art.input_dtypes("tick")[0]) == np.int16
+
+    rng = np.random.default_rng(7)
+    # enough audio for both ticks below: frames_ready >= 8 needs
+    # >= 1024 + 7*256 samples
+    pcm = [rng.integers(-32768, 32768, size=1024 + 256 * (7 + 4 * i),
+                        dtype=np.int16) for i in range(2)]
+    vid = [rng.integers(0, 256, size=(12, 67, 67), dtype=np.uint8)
+           for _ in range(2)]
+    for srv in (live, loaded):
+        for i in range(2):
+            srv.feed(i, pcm=pcm[i], video_frames=vid[i])
+    for _ in range(2):
+        want, got = live.tick(), loaded.tick()
+        assert set(want) == set(got) == {0, 1}
+        for k in want:
+            np.testing.assert_allclose(got[k], want[k], atol=1e-6)
