@@ -9,6 +9,22 @@ Baseline (BASELINE.md): the reference publishes no numbers; the target is
 >= 50x real time per chip, so `vs_baseline` = rt_factor / 50.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+
+Regression gate: the committed BENCH_HISTORY.json records the best-known
+ms/step per (mode, shape key). After the full measurement the result is
+compared against it; a winner >5% slower than the recorded best adds a
+"regression_vs_best" field to the JSON line and a loud stderr note, so a
+silently-shipped slowdown of the headline is visible in the round
+artifact. AVVAD_BENCH_WRITE_HISTORY=1 merges the freshly-measured
+numbers back into the file (run on real hardware only).
+
+`python bench.py --train` (or AVVAD_BENCH_MODE=train) instead measures
+the jitted AV TRAIN step at the reference recipe's configuration
+(/root/reference/scripts/train_AV_net.py:193-329: batch 16, Adam 1e-4,
+frozen ResNet trunk, BN stats updating) — BASELINE.json config 5 — and
+reports train-audio-seconds/sec/chip with the same chained-dependency
+timing (each step consumes the previous step's donated state, so the
+dispatch queue stays full exactly as trainer.py runs it).
 """
 
 from __future__ import annotations
@@ -34,6 +50,131 @@ from avvad_tpu.utils import enable_compilation_cache
 
 enable_compilation_cache()
 import numpy as np
+
+_HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_HISTORY.json")
+
+
+def _load_history() -> dict:
+    try:
+        with open(_HISTORY_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _gate_and_record(mode: str, shape_key: str, winner: str,
+                     step_time: float, rep_times: list[float],
+                     candidates: dict | None = None) -> dict:
+    """Compare the measured winner against the recorded best; optionally
+    merge fresh numbers back (AVVAD_BENCH_WRITE_HISTORY=1). Returns extra
+    fields for the result JSON ({} when in-family and no history)."""
+    ms = step_time * 1e3
+    history = _load_history()
+    entry = history.get(mode, {}).get(shape_key)
+    extra: dict = {}
+    if entry and "best_ms_per_step" in entry:
+        best = float(entry["best_ms_per_step"])
+        if ms > best * 1.05:
+            extra["regression_vs_best"] = round(ms / best, 3)
+            extra["best_known_ms"] = round(best, 2)
+            print(f"bench REGRESSION: {mode}/{shape_key} winner {winner} "
+                  f"measured {ms:.2f} ms/step vs best-known {best:.2f} "
+                  f"({ms / best:.2f}x) — investigate before shipping",
+                  file=sys.stderr)
+    if os.environ.get("AVVAD_BENCH_WRITE_HISTORY") == "1":
+        sect = history.setdefault(mode, {})
+        cur = sect.setdefault(shape_key, {})
+        if "best_ms_per_step" not in cur or ms < cur["best_ms_per_step"]:
+            cur["best_ms_per_step"] = round(ms, 3)
+            cur["best_config"] = winner
+        cur["last"] = {
+            "winner": winner, "ms_per_step": round(ms, 3),
+            "rep_ms": [round(r * 1e3, 3) for r in rep_times],
+            "mean_ms": round(float(np.mean(rep_times)) * 1e3, 3),
+            "spread_ms": round((max(rep_times) - min(rep_times)) * 1e3, 3),
+        }
+        if candidates:
+            cur["candidates_ms"] = {
+                k: {"rep_ms": [round(r * 1e3, 3) for r in v],
+                    "min_ms": round(min(v) * 1e3, 3),
+                    "mean_ms": round(float(np.mean(v)) * 1e3, 3)}
+                for k, v in candidates.items()
+            }
+        with open(_HISTORY_PATH, "w") as f:
+            json.dump(history, f, indent=1, sort_keys=True)
+            f.write("\n")
+        print(f"bench history updated: {mode}/{shape_key}", file=sys.stderr)
+    return extra
+
+
+def train_main():
+    """BASELINE.json config 5: end-to-end AV train step throughput."""
+    from avvad_tpu.data.batching import Batch
+    from avvad_tpu.models import AVVAD
+    from avvad_tpu.train.state import (create_train_state, make_optimizer,
+                                       trainable_except_video_trunk)
+    from avvad_tpu.train.steps import make_train_step
+
+    fs, hop = 16000, 256
+    frame_rate = fs / hop
+    b = int(os.environ.get("AVVAD_BENCH_TRAIN_B", "16"))
+    t = int(os.environ.get("AVVAD_BENCH_TRAIN_T", "512"))
+    iters = int(os.environ.get("AVVAD_BENCH_ITERS", "10"))
+    reps = int(os.environ.get("AVVAD_BENCH_REPS", "3"))
+    # The reference AV recipe: frozen ResNet trunk (train_AV_net.py:
+    # 238-245; optax set_to_zero lets XLA drop the trunk backward pass,
+    # exactly as torch's requires_grad=False does), BN batch stats
+    # updating, Adam 1e-4 on the rest. AVVAD_BENCH_TRAIN_FREEZE=0
+    # measures the full-backward (unfrozen) step instead.
+    freeze = os.environ.get("AVVAD_BENCH_TRAIN_FREEZE", "1") == "1"
+
+    # AVVAD_BENCH_TRAIN_H: off-TPU smoke only; the measured config is 1024.
+    lstm_h = int(os.environ.get("AVVAD_BENCH_TRAIN_H", "1024"))
+    model = AVVAD(y_dim=1, lstm_hidden_size=lstm_h, lstm_layers=2,
+                  use_mcb=True)
+    tx = make_optimizer(
+        1e-4,
+        freeze_filter=trainable_except_video_trunk if freeze else None)
+    example = (jnp.zeros((1, 4, 513)), jnp.zeros((1, 4, 67, 67)))
+    state = create_train_state(model, jax.random.PRNGKey(0), example, tx)
+
+    rng = np.random.default_rng(0)
+    batch = Batch(
+        audio=jnp.asarray(rng.normal(size=(b, t, 513)), jnp.float32),
+        video=jnp.asarray(rng.normal(size=(b, t, 67, 67)), jnp.float32),
+        label=jnp.asarray(rng.integers(0, 2, size=(b, t, 1)), jnp.float32),
+        lengths=jnp.full((b,), t, jnp.int32),
+        mask=jnp.ones((b, t), jnp.float32),
+    )
+    step = make_train_step("av")
+
+    state, metrics = step(state, batch, None)  # compile + warm
+    jax.block_until_ready(metrics["loss"])
+    rep_times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            # each step consumes the previous step's donated state: the
+            # chain is the real trainer's dependency structure
+            state, metrics = step(state, batch, None)
+        float(metrics["loss"])  # barrier: value fetch syncs the chain
+        rep_times.append((time.perf_counter() - t0) / iters)
+    step_time = min(rep_times)
+
+    rt_factor = (b * t / frame_rate) / step_time
+    shape_key = f"b{b}_t{t}_frozen{int(freeze)}"
+    extra = _gate_and_record("train", shape_key, "av_train_step",
+                             step_time, rep_times)
+    print(json.dumps({
+        "metric": "av_vad_train_rt_factor",
+        "value": round(rt_factor, 2),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(rt_factor / 50.0, 3),
+        "config": f"av_train b={b} t={t} frozen_trunk={int(freeze)} "
+                  f"ms_per_step={step_time * 1e3:.1f}",
+        **extra,
+    }))
 
 
 def main():
@@ -179,19 +320,20 @@ def main():
     # block_until_ready costs ~29 ms of dead tunnel-sync time on this
     # backend and would understate sustained throughput ~2x.)
     def time_serve(serve, n_iters, reps):
+        """-> per-rep step times (seconds); min is the headline."""
         out = serve(audio_wave, video)  # warm up / compile
         jax.block_until_ready(out)
         # chained-form warmups: the fresh-scalar and committed-carry
         # input forms can each land in their OWN jit-cache entry whose
         # recompile would otherwise hide inside a timed rep (min over
-        # reps absorbs it, but the ladder's short runs use reps=2 —
+        # reps absorbs it, but the ladder's runs are short —
         # keep every rep clean; see scripts/bench_artifact_overhead.py)
         warm_carry = jnp.float32(0.0)
         out = serve(audio_wave + warm_carry * 0.0, video)
         warm_carry = out[0, 0, 0]
         out = serve(audio_wave + warm_carry * 0.0, video)
         jax.block_until_ready(out)
-        best = None
+        times = []
         for _ in range(reps):
             carry = jnp.float32(0.0)
             t0 = time.perf_counter()
@@ -199,9 +341,8 @@ def main():
                 out = serve(audio_wave + carry * 0.0, video)
                 carry = out[0, 0, 0]
             float(carry)  # value fetch: the only reliable barrier here
-            dt = (time.perf_counter() - t0) / n_iters
-            best = dt if best is None else min(best, dt)
-        return float(best)
+            times.append((time.perf_counter() - t0) / n_iters)
+        return times
 
     # AVVAD_BENCH_AUTO (default on unless a candidate flag is set
     # explicitly): time the shipped config against the quality-gated
@@ -231,8 +372,10 @@ def main():
         model = model.clone(mcb_folded_vars=True)
         variables = fold_sketch_collection(variables)
     serve = make_serve(model, hop_dft)
+    candidate_reps: dict[str, list[float]] = {}
     if not auto:
-        step_time = time_serve(serve, n_iters=full_iters, reps=full_reps)
+        rep_times = time_serve(serve, n_iters=full_iters, reps=full_reps)
+        step_time = min(rep_times)
         winner = f"explicit:hop_dft={int(hop_dft)},lstm={lstm_quant}"
     else:
         t_start = time.perf_counter()
@@ -266,10 +409,13 @@ def main():
                     mdl = (model if quant == lstm_quant
                            else model.clone(lstm_state_quant=quant))
                     s = serves[name] = make_serve(mdl, use_hop)
-                timings[name] = time_serve(
-                    s, n_iters=max(2, full_iters // 2), reps=2)
+                candidate_reps[name] = time_serve(
+                    s, n_iters=max(2, full_iters // 2), reps=3)
+                timings[name] = min(candidate_reps[name])
                 print(f"bench auto: {name}: "
-                      f"{timings[name] * 1e3:.2f} ms/step", file=sys.stderr)
+                      f"{timings[name] * 1e3:.2f} ms/step "
+                      f"(reps {[f'{r * 1e3:.1f}' for r in candidate_reps[name]]})",
+                      file=sys.stderr)
             except Exception as e:  # never lose the headline to a candidate
                 first_error = first_error or e
                 print(f"bench auto: {name} failed: {e!r}", file=sys.stderr)
@@ -293,19 +439,28 @@ def main():
                 name = winner + "+mcb_hoist"
                 serves[name] = make_serve(mdl, cfg[0],
                                           fold_sketch_collection(variables))
-                timings[name] = time_serve(
-                    serves[name], n_iters=max(2, full_iters // 2), reps=2)
+                candidate_reps[name] = time_serve(
+                    serves[name], n_iters=max(2, full_iters // 2), reps=3)
+                timings[name] = min(candidate_reps[name])
                 print(f"bench auto: {name}: "
                       f"{timings[name] * 1e3:.2f} ms/step", file=sys.stderr)
                 winner = min(timings, key=timings.get)
             except Exception as e:
                 print(f"bench auto: mcb_hoist failed: {e!r}", file=sys.stderr)
         print(f"bench auto: winner = {winner}", file=sys.stderr)
-        step_time = time_serve(serves[winner], n_iters=full_iters,
+        rep_times = time_serve(serves[winner], n_iters=full_iters,
                                reps=full_reps)
+        step_time = min(rep_times)
     audio_seconds = b * t / frame_rate
     rt_factor = audio_seconds / step_time
 
+    shape_key = (f"b{b}_t{t}_int8{int8_mode}"
+                 + ("_stem" if stem_int8 else "")
+                 + ("_pallas" if pallas_tower else "")
+                 + (f"_chunk{tower_chunk}" if tower_chunk else ""))
+    extra = _gate_and_record("inference", shape_key,
+                             winner + ("+mcb_hoist(env)" if mcb_hoist else ""),
+                             step_time, rep_times, candidate_reps or None)
     print(json.dumps({
         "metric": "av_vad_inference_rt_factor",
         "value": round(rt_factor, 2),
@@ -314,8 +469,13 @@ def main():
         # which program produced the number (quality gates per config:
         # QUALITY.md "Combined candidates")
         "config": winner + ("+mcb_hoist(env)" if mcb_hoist else ""),
+        **extra,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    if "--train" in sys.argv[1:] or \
+            os.environ.get("AVVAD_BENCH_MODE") == "train":
+        train_main()
+    else:
+        main()
