@@ -84,40 +84,82 @@ def noise_robust_clean_speech_IBM(
     return ibm * vad
 
 
+# --- voiced/unvoiced split-characteristic IBMs -------------------------
+#
+# Pinned numerical port (the one part of this module where "re-designed"
+# does not apply): the mask GEOMETRY below — ramp placements including
+# their off-by-one slice starts — reproduces the reference's
+# (/root/reference/packages/processing/target.py:110-250, itself derived
+# from pb_bss) bin for bin, because the output contract is exact label
+# parity with fixture data built by that code. Everything is renamed and
+# restructured to this repo's conventions; the arithmetic order inside
+# each expression is kept so results stay bit-identical.
+
+_SPLIT_BIN = 200  # voiced/unvoiced crossover (center of the wide ramp)
+_SPLIT_RAMP_BINS = 99  # half-cosine ramp width at the crossover
+_EDGE_RAMP_BINS = 5  # sharp ramp width at the outer band edges
+_VOICED_LOW_BIN = 4  # below this the voiced characteristic is cut
+_UNVOICED_HIGH_BIN = 500  # above this the unvoiced characteristic is cut
+_PSD_FLOOR = 0.005  # bins quieter than this are never speech
+_FIXED_NOISE_PSD = 10.0  # threshold_IBM's stand-in noise estimate
+
+
+def _half_cosine_ramp(n_bins: int) -> np.ndarray:
+    """Raised-cosine ramp 1 -> 0 over n_bins points (endpoints included)."""
+    return 0.5 * (1 + np.cos(np.pi / (n_bins - 1) * np.arange(n_bins)))
+
+
 def _voiced_unvoiced_split_characteristic(number_of_frequency_bins: int):
-    split_bin = 200
-    transition_width = 99
-    fast_transition_width = 5
-    low_bin = 4
-    high_bin = 500
+    """Complementary per-bin weights (voiced, unvoiced), each in [0, 1].
 
-    a = np.arange(0, transition_width)
-    a = np.pi / (transition_width - 1) * a
-    transition = 0.5 * (1 + np.cos(a))
+    Voiced: 0 below bin 3, edge-ramps up over bins 3..7, flat 1 through
+    the low spectrum, ramps down across the split band (centered on
+    _SPLIT_BIN), 0 above. Unvoiced: 0 through the voiced band, ramps up
+    across the split band, flat 1 through the high spectrum, edge-ramps
+    down at _UNVOICED_HIGH_BIN. Ramp slices start one bin below their
+    nominal edge — a quirk of the ported geometry (see module note).
+    """
+    split_ramp = _half_cosine_ramp(_SPLIT_RAMP_BINS)
+    edge_ramp = _half_cosine_ramp(_EDGE_RAMP_BINS)
+    # first bin of the split ramp: the ramp is centered on _SPLIT_BIN
+    ramp_lo = _SPLIT_BIN - (_SPLIT_RAMP_BINS + 1) // 2
+    ramp_hi = ramp_lo + _SPLIT_RAMP_BINS  # one past the ramp's last bin
 
-    b = np.arange(0, fast_transition_width)
-    b = np.pi / (fast_transition_width - 1) * b
-    fast_transition = (np.cos(b) + 1) / 2
-
-    transition_voiced_start = int(split_bin - transition_width / 2)
     voiced = np.ones(number_of_frequency_bins)
-
-    # High edge
-    voiced[transition_voiced_start - 1 : transition_voiced_start + transition_width - 1] = transition
-    voiced[transition_voiced_start - 1 + transition_width : len(voiced)] = 0
-
-    # Low edge
-    voiced[0:low_bin] = 0
-    voiced[low_bin - 1 : low_bin + fast_transition_width - 1] = 1 - fast_transition
+    voiced[ramp_lo - 1:ramp_hi - 1] = split_ramp
+    voiced[ramp_hi - 1:] = 0
+    voiced[:_VOICED_LOW_BIN] = 0
+    voiced[_VOICED_LOW_BIN - 1:
+           _VOICED_LOW_BIN - 1 + _EDGE_RAMP_BINS] = 1 - edge_ramp
 
     unvoiced = np.ones(number_of_frequency_bins)
-    unvoiced[transition_voiced_start - 1 : transition_voiced_start + transition_width - 1] = 1 - transition
-    unvoiced[0:transition_voiced_start] = 0
-
-    unvoiced[high_bin - 1 : len(unvoiced)] = 0
-    unvoiced[high_bin - 1 : high_bin + fast_transition_width - 1] = fast_transition
+    unvoiced[ramp_lo - 1:ramp_hi - 1] = 1 - split_ramp
+    unvoiced[:ramp_lo] = 0
+    unvoiced[_UNVOICED_HIGH_BIN - 1:] = 0
+    unvoiced[_UNVOICED_HIGH_BIN - 1:
+             _UNVOICED_HIGH_BIN - 1 + _EDGE_RAMP_BINS] = edge_ramp
 
     return voiced, unvoiced
+
+
+def _regime_db(db_on_voiced: float, db_on_unvoiced: float,
+               voiced: np.ndarray, unvoiced: np.ndarray) -> np.ndarray:
+    """Per-bin dB offsets blended across the voiced/unvoiced regimes."""
+    return db_on_voiced * voiced + db_on_unvoiced * unvoiced
+
+
+def _attenuated_psd(spec: np.ndarray, per_bin_db: np.ndarray) -> np.ndarray:
+    """|spec|^2 attenuated by per-bin dB (the regime-weighted threshold)."""
+    return (spec * spec.conjugate()) / np.power(10, per_bin_db / 10)
+
+
+def _force_band_edges(mask: np.ndarray, low_cut: int, high_cut: int,
+                      value: bool) -> np.ndarray:
+    """Pin the out-of-band bins ([0, low_cut-1) and [high_cut, F)) to
+    `value` in place (speech masks force 0, noise masks force 1)."""
+    mask[..., :low_cut - 1] = value
+    mask[..., high_cut:] = value
+    return mask
 
 
 def noise_aware_IBM(
@@ -130,32 +172,31 @@ def noise_aware_IBM(
     low_cut: int = 5,
     high_cut: int = 500,
 ):
-    """Speech/noise masks from per-bin PSD thresholds. X, N: (frames, bins)."""
+    """Speech/noise masks from per-bin PSD thresholds. X, N: (frames, bins).
+
+    A bin is speech when the regime-attenuated speech PSD still beats the
+    noise PSD (and the absolute floor); a bin is noise when the
+    regime-BOOSTED speech PSD falls below the noise PSD (or the floor) —
+    the two regime blends differ, so the masks are not complements.
+    (The noise blend pairs the `unvoiced` dB with the voiced weight and
+    vice versa, exactly as the ported geometry does; the stock thresholds
+    are symmetric so it is invisible at the defaults.)
+    """
     voiced, unvoiced = _voiced_unvoiced_split_characteristic(X.shape[-1])
+    speech_psd = _attenuated_psd(
+        X, _regime_db(threshold_voiced_speech, threshold_unvoiced_speech,
+                      voiced, unvoiced))
+    boosted_psd = _attenuated_psd(
+        X, _regime_db(threshold_unvoiced_noise, threshold_voiced_noise,
+                      voiced, unvoiced))
+    noise_psd = N * N.conjugate()
 
-    threshold = threshold_voiced_speech * voiced + threshold_unvoiced_speech * unvoiced
-    threshold_new = threshold_unvoiced_noise * voiced + threshold_voiced_noise * unvoiced
-
-    xPSD = X * X.conjugate()
-
-    c = np.power(10, threshold / 10)
-    xPSD_threshold = xPSD / c
-    c_new = np.power(10, threshold_new / 10)
-    xPSD_threshold_new = xPSD / c_new
-
-    nPSD = N * N.conjugate()
-
-    speechMask = xPSD_threshold > nPSD
-    speechMask = np.logical_and(speechMask, xPSD_threshold > 0.005)
-    speechMask[..., 0 : low_cut - 1] = 0
-    speechMask[..., high_cut : len(speechMask[0])] = 0
-
-    noiseMask = xPSD_threshold_new < nPSD
-    noiseMask = np.logical_or(noiseMask, xPSD_threshold_new < 0.005)
-    noiseMask[..., 0 : low_cut - 1] = 1
-    noiseMask[..., high_cut : len(noiseMask[0])] = 1
-
-    return speechMask, noiseMask
+    speech_mask = np.logical_and(speech_psd > noise_psd,
+                                 speech_psd > _PSD_FLOOR)
+    noise_mask = np.logical_or(boosted_psd < noise_psd,
+                               boosted_psd < _PSD_FLOOR)
+    return (_force_band_edges(speech_mask, low_cut, high_cut, False),
+            _force_band_edges(noise_mask, low_cut, high_cut, True))
 
 
 def threshold_IBM(
@@ -167,20 +208,17 @@ def threshold_IBM(
     low_cut: int = 5,
     high_cut: int = 500,
 ) -> np.ndarray:
-    """Speech mask against a fixed PSD floor of 10 (no noise estimate)."""
+    """Speech mask against a fixed PSD floor (no noise estimate).
+
+    The noise-threshold kwargs are accepted but unused — kept so the
+    signature mirrors noise_aware_IBM (and the reference's, which carries
+    the same vestigial parameters at target.py:202-210).
+    """
+    del threshold_unvoiced_noise, threshold_voiced_noise
     voiced, unvoiced = _voiced_unvoiced_split_characteristic(X.shape[-1])
-
-    threshold = threshold_voiced_speech * voiced + threshold_unvoiced_speech * unvoiced
-
-    xPSD = X * X.conjugate()
-    c = np.power(10, threshold / 10)
-    xPSD_threshold = xPSD / c
-
-    nPSD = 10
-
-    speechMask = xPSD_threshold > nPSD
-    speechMask = np.logical_and(speechMask, xPSD_threshold > 0.005)
-    speechMask[..., 0 : low_cut - 1] = 0
-    speechMask[..., high_cut : len(speechMask[0])] = 0
-
-    return speechMask
+    speech_psd = _attenuated_psd(
+        X, _regime_db(threshold_voiced_speech, threshold_unvoiced_speech,
+                      voiced, unvoiced))
+    speech_mask = np.logical_and(speech_psd > _FIXED_NOISE_PSD,
+                                 speech_psd > _PSD_FLOOR)
+    return _force_band_edges(speech_mask, low_cut, high_cut, False)
