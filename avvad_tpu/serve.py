@@ -268,6 +268,41 @@ class _MultiStreamBase:
         return [(a * hn + (1 - a) * ho, a * cn + (1 - a) * co)
                 for (hn, cn), (ho, co) in zip(new_carries, carries)]
 
+    def tick_pipelined(self) -> dict:
+        """Two-deep pipelined tick: dispatch THIS tick asynchronously and
+        return the PREVIOUS tick's (by now computed) probabilities.
+
+        Keeps two ticks in flight: while the device runs tick N, the host
+        assembles + uploads tick N+1's blocks and downloads tick N-1's
+        results, so per-tick wall time approaches max(compute, transfer)
+        instead of their sum — at the cost of exactly one block
+        (block_frames/62.5 s) of extra result latency. The bounded
+        counterpart of tick(fetch=False), which defers synchronization
+        indefinitely. Returns {} for the first tick (nothing pending yet);
+        call flush_pipelined() after the last tick to drain the tail.
+        reset()/reset_stream() do not cancel a pending tick — its results
+        predate the reset and are returned as-is."""
+        out = self.tick(fetch=False)
+        prev = getattr(self, "_pending_tick", None)
+        self._pending_tick = out or None
+        if not prev:
+            return {}
+        keys = list(prev)
+        # one stacked fetch: per-row np.asarray would round-trip the
+        # tunnel once per stream
+        rows = np.asarray(jnp.stack([prev[k] for k in keys]))
+        return {k: rows[j] for j, k in enumerate(keys)}
+
+    def flush_pipelined(self) -> dict:
+        """Fetch the pending pipelined tick (if any) without dispatching."""
+        prev = getattr(self, "_pending_tick", None)
+        self._pending_tick = None
+        if not prev:
+            return {}
+        keys = list(prev)
+        rows = np.asarray(jnp.stack([prev[k] for k in keys]))
+        return {k: rows[j] for j, k in enumerate(keys)}
+
 
 class MultiStreamVAD(_MultiStreamBase):
     """N concurrent independent audio streams through ONE jitted step.

@@ -49,8 +49,10 @@ def make_server(n_streams: int, block_frames: int, native: bool,
 
 
 def run(server: MultiStreamVAD, n_ticks: int, chunk: np.ndarray,
-        fetch: bool) -> float:
-    """Feed every stream one block of audio per tick; returns s/tick."""
+        mode) -> float:
+    """Feed every stream one block of audio per tick; returns s/tick.
+    mode: True = sync fetch per tick, False = lazy (defer all fetches),
+    "pipelined" = two-deep tick_pipelined (fetch tick N-1 each tick)."""
     n = server.n
     # warm up / compile (the first block additionally needs the window
     # overlap primed: nfft - hop samples beyond block_frames * hop)
@@ -65,7 +67,12 @@ def run(server: MultiStreamVAD, n_ticks: int, chunk: np.ndarray,
     for _ in range(n_ticks):
         for i in range(n):
             server.feed(i, chunk)
-        last = server.tick(fetch=fetch)
+        if mode == "pipelined":
+            last = server.tick_pipelined()
+        else:
+            last = server.tick(fetch=mode)
+    if mode == "pipelined":
+        last = server.flush_pipelined()
     # value fetch is the only reliable barrier on this backend
     _ = np.asarray(last[0])
     return (time.perf_counter() - t0) / n_ticks
@@ -114,7 +121,8 @@ def make_av_server(n_streams: int, block_frames: int, int8: bool = False,
 
 
 def run_av(server, n_ticks: int, chunk: np.ndarray,
-           vchunk: np.ndarray, video_fps: float = 0.0) -> float:
+           vchunk: np.ndarray, video_fps: float = 0.0,
+           mode=True) -> float:
     n = server.n
     bf = server.block_frames
     # camera-rate servers consume video_fps/62.5 source frames per output
@@ -140,7 +148,12 @@ def run_av(server, n_ticks: int, chunk: np.ndarray,
         vf = vstock[:vfeed(3 + t)]
         for i in range(n):
             server.feed(i, pcm=chunk, video_frames=vf)
-        last = server.tick(fetch=True)
+        if mode == "pipelined":
+            last = server.tick_pipelined()
+        else:
+            last = server.tick(fetch=mode)
+    if mode == "pipelined":
+        last = server.flush_pipelined()
     _ = np.asarray(last[0])
     return (time.perf_counter() - t0) / n_ticks
 
@@ -220,7 +233,8 @@ def main():
     wire = "".join([" span" if args.audio_span else "",
                     " hop-dft" if args.hop_dft else "",
                     " i16" if args.audio_int16 else ""])
-    for mode, fetch in (("sync", True), ("lazy", False)):
+    for mode, fetch in (("sync", True), ("pipelined", "pipelined"),
+                        ("lazy", False)):
         srv.reset()
         dt = run(srv, args.ticks, wire_chunk, fetch)
         agg = args.streams * block_sec / dt
@@ -239,10 +253,6 @@ def main():
                             span_wire=args.audio_span, hop_dft=args.hop_dft,
                             video_fps=args.av_video_fps,
                             audio_int16=args.audio_int16)
-        dt = run_av(av, args.ticks, wire_chunk, vchunk,
-                    video_fps=args.av_video_fps)
-        agg = args.streams * block_sec / dt
-        budget = block_sec / dt
         tag = "".join([" int8" if args.av_int8 else "",
                        " pallas" if args.av_pallas else "",
                        " u8" if args.av_u8 else "",
@@ -250,9 +260,16 @@ def main():
                        wire,
                        f" cam{args.av_video_fps:g}" if args.av_video_fps
                        else ""]) or " f32"
-        print(f"tick (AV{tag}): {dt * 1e3:6.1f} ms | {args.streams} streams "
-              f"x {block_sec * 1e3:.0f} ms blocks -> {agg:6.1f}x aggregate "
-              f"real time | latency budget headroom {budget:4.1f}x")
+        for mode, fetch in (("sync", True), ("pipelined", "pipelined")):
+            av.reset()
+            dt = run_av(av, args.ticks, wire_chunk, vchunk,
+                        video_fps=args.av_video_fps, mode=fetch)
+            agg = args.streams * block_sec / dt
+            budget = block_sec / dt
+            print(f"tick (AV {mode}{tag}): {dt * 1e3:6.1f} ms | "
+                  f"{args.streams} streams x {block_sec * 1e3:.0f} ms "
+                  f"blocks -> {agg:6.1f}x aggregate real time | "
+                  f"latency budget headroom {budget:4.1f}x")
 
     # dispatch floor: the same per-tick host->device transfer through a
     # trivial jitted op, fetched per tick — the latency this backend charges

@@ -703,3 +703,39 @@ def test_multistream_av_int16_wire_bitexact():
     for i in range(2):
         assert len(base[i]) > 0
         np.testing.assert_array_equal(i16[i], base[i])
+
+
+def test_tick_pipelined_matches_sync_one_tick_late():
+    """tick_pipelined returns exactly the sync tick's probabilities,
+    delayed one tick, with flush_pipelined draining the tail."""
+    from avvad_tpu.serve import MultiStreamVAD
+
+    model, variables = _model_and_vars(h=8)
+    rng = np.random.default_rng(0)
+    chunks = [rng.normal(size=4 * 256 + 768).astype(np.float32) * 0.1] + \
+             [rng.normal(size=4 * 256).astype(np.float32) * 0.1
+              for _ in range(5)]
+
+    def play(pipelined):
+        ms = MultiStreamVAD(model, variables, n_streams=2, block_frames=4)
+        outs = []
+        for c in chunks:
+            for i in range(2):
+                ms.feed(i, c)
+            outs.append(ms.tick_pipelined() if pipelined
+                        else ms.tick(fetch=True))
+        if pipelined:
+            outs.append(ms.flush_pipelined())
+        return outs
+
+    sync, piped = play(False), play(True)
+    assert piped[0] == {}  # nothing pending on the first tick
+    assert len(piped) == len(sync) + 1
+    for t, want in enumerate(sync):
+        got = piped[t + 1]
+        assert set(got) == set(want)
+        for k in want:
+            np.testing.assert_allclose(got[k], want[k], atol=1e-6)
+    # flush with nothing pending is a clean no-op
+    ms = MultiStreamVAD(model, variables, n_streams=1, block_frames=4)
+    assert ms.flush_pipelined() == {}
