@@ -34,6 +34,7 @@ def built(ref_subset, tmp_path_factory):
     return out
 
 
+@pytest.mark.slow
 def test_artifact_formats(built, ref_subset):
     # video h5 matches the reference's artifact (same file exists in the
     # committed fixture; ours is codec-free so compare within x264 noise)
@@ -64,6 +65,7 @@ def test_artifact_formats(built, ref_subset):
             assert "X_train_mean" in f and "X_train_std" in f
 
 
+@pytest.mark.slow
 def test_frame_store_builder(built, tmp_path):
     """Packed frame store feeds the legacy windowed sources."""
     from avvad_tpu.builders import BuildConfig, build_frame_store
@@ -88,6 +90,7 @@ def test_frame_store_builder(built, tmp_path):
     chunks.close()
 
 
+@pytest.mark.slow
 def test_built_tree_feeds_av_training(built):
     """The self-built tree must load through the live AV source with the
     reference's canonical config (upsampled=True)."""

@@ -5,6 +5,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from avvad_tpu.data.batching import Batch
 from avvad_tpu.models import AudioVAD
@@ -30,6 +31,7 @@ def _trained_state_and_batch():
     return model, state, batch, step
 
 
+@pytest.mark.slow
 def test_full_roundtrip_including_optimizer(tmp_path):
     model, state, batch, step = _trained_state_and_batch()
     path = save_checkpoint(str(tmp_path), state,

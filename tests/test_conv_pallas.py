@@ -9,6 +9,7 @@ for rare one-LSB flips on quantization-boundary values.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from avvad_tpu.ops import conv_pallas as cp
 
@@ -120,6 +121,7 @@ def test_block_downsample_stride1_channel_change():
     _run_case(stride=1, cin=16, cout=32, seed=2)
 
 
+@pytest.mark.slow
 def test_resnet_stages_pallas_matches_xla_int8():
     """Full trunk: the fused Pallas stages must reproduce the XLA
     static-int8 trunk from the SAME calibrated variables (identical

@@ -32,6 +32,7 @@ def test_initialize_multihost_noop_without_coordinator(monkeypatch):
     assert initialize_multihost() is False
 
 
+@pytest.mark.slow
 def test_two_process_dp_step_matches_single_process(tmp_path):
     """REAL multi-process distribution (VERDICT r2 missing #2): launch two
     localhost processes under jax.distributed (4 virtual CPU devices
@@ -103,6 +104,7 @@ def test_two_process_dp_step_matches_single_process(tmp_path):
     np.testing.assert_allclose(results[0]["pnorm"], pnorm, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_trainer_with_mesh(ref_subset, tmp_path):
     """Trainer in mesh mode trains on real data across 8 virtual devices."""
     from avvad_tpu.data import AudioSequenceSource, DataLoader

@@ -25,6 +25,7 @@ def _tiny_av(batch=2, t=8):
     return model, variables, t, wave, video
 
 
+@pytest.mark.slow
 def test_av_artifact_round_trip(tmp_path):
     model, variables, t, wave, video = _tiny_av()
     fn = make_waveform_serving_fn(model, variables, t_frames=t)
@@ -75,6 +76,7 @@ def test_audio_artifact_with_norm_stats(tmp_path):
     np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_av_unique_frame_layout(tmp_path):
     """Exported unique-frame serving (baked fps-resample gather) matches
     direct application on the resampled timeline."""
@@ -159,6 +161,7 @@ def test_streaming_step_artifact_matches_live_streamer(tmp_path):
     np.testing.assert_allclose(replay, live[: len(replay)], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_streaming_video_step_fn_replay(tmp_path):
     """Video-only streaming step exports and replays block-for-block."""
     from avvad_tpu.export import make_streaming_step_fn
@@ -360,6 +363,8 @@ def test_mesh_sharded_server_artifact(tmp_path):
         np.testing.assert_allclose(got[k], want[k], atol=1e-5)
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_sharded_serving_artifact(tmp_path):
     """Multi-chip export: a data-sharded serving program round-trips and
     replays on the virtual 8-device mesh with per-device batch rows."""
@@ -418,6 +423,8 @@ def test_artifact_server_preserves_stft_geometry(tmp_path):
     np.testing.assert_allclose(got[0], want[0], atol=1e-6)
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_int8_tower_artifact_round_trip(tmp_path):
     """The quantized serving tower exports and replays (dynamic W8A8:
     no calibration data needed; static differs only by baked scales)."""
@@ -470,6 +477,7 @@ def test_empty_artifact_rejected(tmp_path):
         ServingArtifact.load(p)
 
 
+@pytest.mark.slow
 def test_artifact_av_camera_rate_server_round_trip(tmp_path):
     """A camera-rate (video_fps=30) AV server exports its unique-frame
     tick (source frames + per-stream gather schedule as explicit inputs),
@@ -546,6 +554,7 @@ def test_artifact_server_round_trip_audio_int16(tmp_path):
         np.testing.assert_allclose(got[k], want[k], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_artifact_av_server_round_trip_audio_int16(tmp_path):
     """The AV export path with audio_int16 (span wire + uint8 video):
     the exported tick's audio input must be int16 (N, span), the wire

@@ -2,8 +2,10 @@
 
 import jax
 import numpy as np
+import pytest
 
 
+@pytest.mark.slow
 def test_entry_compiles_and_runs():
     import __graft_entry__ as g
 

@@ -62,6 +62,7 @@ def test_chunk_source(frame_store):
     src.close()
 
 
+@pytest.mark.slow
 def test_video_clip_source(ref_subset, tmp_path):
     mat_dir = os.path.join(ref_subset, "raw/ntcd_timit/matlab_raw/train/01M")
     labels = np.random.default_rng(0).random(200).astype(np.float32)

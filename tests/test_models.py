@@ -231,6 +231,7 @@ def test_avvad_forward(use_mcb):
         assert variables["sketch"]["mcb"]["sketch1"].shape == (513, 32)
 
 
+@pytest.mark.slow
 def test_wavenet_encoder_shapes_and_receptive_field():
     from avvad_tpu.models import WaveNetEncoder
 
@@ -304,6 +305,7 @@ def test_adaptive_avg_pool_matches_torch():
     np.testing.assert_allclose(ours, ref, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_stem_space_to_depth_exact():
     """The s2d-reparameterized stem must match the strided 7x7 conv exactly
     (same param tree, so checkpoints are interchangeable)."""
@@ -329,6 +331,7 @@ def test_stem_space_to_depth_exact():
                                    atol=1e-5)
 
 
+@pytest.mark.slow
 def test_gray_stem_exact_vs_rgb_repeat():
     """conv1 over channel-replicated RGB == 1-channel conv with the kernel
     summed over input channels — through the full VideoVAD tower."""
@@ -386,6 +389,8 @@ def test_misc_model_utils():
         np.asarray(params["lstm_audio"]["layer_0"]["w_hh"]))
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_int8_tower_close_to_fp32():
     """W8A8 int8-resident trunk tracks the fp32 trunk closely enough for
     probability-level work (quality is gated on the trained model's metrics
@@ -430,6 +435,7 @@ def test_int8_tower_close_to_fp32():
     assert rel2 < 0.05, f"static int8 rel error on held-out batch {rel2:.4f}"
 
 
+@pytest.mark.slow
 def test_int8_stem_close_to_fp32():
     """stem_int8: quantized-input W8A8 stem conv (resnet._StemInt8) on top
     of the int8-resident trunk. Same param tree as the float stem (the
@@ -526,6 +532,8 @@ def test_unique_frame_tower_matches_upsampled():
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-6)
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_chunked_tower_matches_single_pass():
     """`tower_chunk` bounds peak trunk activation memory by scanning the
     trunk over frame slices; frames are row-independent through the trunk,

@@ -18,6 +18,7 @@ def test_mesh_construction():
         make_mesh(n_data=3, n_model=2)
 
 
+@pytest.mark.slow
 def test_data_parallel_step_matches_single_device():
     """The sharded AV train step must compute the same loss as unsharded."""
     from avvad_tpu.data.batching import Batch
@@ -63,6 +64,7 @@ def test_tp_sharding_rules_target_wide_lstm_kernels():
     assert spec_other == jax.sharding.PartitionSpec()
 
 
+@pytest.mark.slow
 def test_dp_tp_step_matches_single_device():
     """dp4 x tp2 mesh: the `model`-axis sharded step must agree numerically
     with the unsharded step (TP correctness, not just shape validity)."""
@@ -146,12 +148,15 @@ def test_opt_state_moments_carry_param_sharding():
             assert s == spec, f"moment for {key} has {s}, want {spec}"
 
 
+@pytest.mark.slow
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_multistream_serving_sharded_over_mesh_matches_single_device():
     """Serving scales over chips by sharding streams on the `data` axis
     (ticks are independent per stream — no collectives). Same feeds, same

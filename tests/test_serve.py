@@ -6,6 +6,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from avvad_tpu.config import STFTConfig
 from avvad_tpu.models import AudioVAD
@@ -65,6 +66,7 @@ def test_streaming_reset_reproducible():
     assert len(a) > 0 and ((a >= 0) & (a <= 1)).all()
 
 
+@pytest.mark.slow
 def test_av_streaming_runs_and_is_deterministic(ref_subset):
     """Synchronized AV streaming: ragged chunks, reproducible, valid probs.
 
@@ -160,6 +162,7 @@ def test_multistream_matches_solo_streams(ref_subset):
         np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_multistream_av_matches_solo_streams(ref_subset):
     """Each stream of MultiStreamAVVAD must match a solo StreamingAVVAD run
     (MCB fusion, per-stream L2 norm), including when one stream's video
@@ -290,6 +293,7 @@ def test_multistream_av_reset_stream():
     np.testing.assert_array_equal(h_after[0], h_before[0])  # other intact
 
 
+@pytest.mark.slow
 def test_streaming_video_matches_offline():
     """Video-only streaming must equal the offline VideoVAD forward of
     the same frames (the tower is frame-local; only the LSTM carries
@@ -450,6 +454,7 @@ def test_multistream_span_wire_bitexact(ref_subset):
         MultiStreamVAD(model, variables, n_streams=3, hop_dft=True)
 
 
+@pytest.mark.slow
 def test_multistream_av_span_wire_bitexact():
     """AV span wire (+ uint8 video): bit-identical to the frames wire,
     including a stream whose video lags (the gated span assemble must
@@ -498,6 +503,7 @@ def test_multistream_av_span_wire_bitexact():
         np.testing.assert_allclose(hop[i], base[i], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_multistream_av_camera_rate_video_bitexact():
     """Camera-rate video ingestion (video_fps=30): feeding 30 fps source
     frames must be bit-identical to feeding the pre-upsampled 62.5 fps
@@ -565,6 +571,7 @@ def test_multistream_av_camera_rate_video_bitexact():
         MultiStreamAVVAD(model, variables, n_streams=1, video_fps=90.0)
 
 
+@pytest.mark.slow
 def test_multistream_video_camera_rate_bitexact():
     """Video-only camera-rate ingestion: bit-identical to feeding the
     pre-upsampled 62.5 fps stream (tower on unique frames + per-stream

@@ -7,6 +7,7 @@ import threading
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from avvad_tpu.models import AudioVAD
 from avvad_tpu.serve import MultiStreamVAD, StreamingVAD
@@ -430,6 +431,7 @@ def test_av_server_survives_arbitrary_fragmentation():
         server.close()
 
 
+@pytest.mark.slow
 def test_video_server_round_trip_matches_solo_stream():
     """Video-only TCP mode: framed V/U messages in, probabilities out,
     equal to a solo StreamingVideoVAD; A payloads drop the connection."""

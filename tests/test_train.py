@@ -67,6 +67,7 @@ def test_metrics_match_reference_formula_on_batch(root):
     assert abs(float(metrics["accuracy"]) - np.mean(accs)) < 1e-5
 
 
+@pytest.mark.slow
 def test_frozen_trunk_receives_no_updates():
     model = AVVAD(y_dim=1, lstm_hidden_size=8, lstm_layers=1, use_mcb=False)
     audio = jnp.zeros((2, 4, 513))
@@ -113,6 +114,7 @@ def test_normalization_matches_reference_order():
     np.testing.assert_allclose(ours, ref, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_batchnorm_updates_in_av_mcb_train_step():
     model = AVVAD(y_dim=1, lstm_hidden_size=8, lstm_layers=1, use_mcb=True,
                   mcb_output_size=16)
@@ -135,6 +137,7 @@ def test_batchnorm_updates_in_av_mcb_train_step():
     )
 
 
+@pytest.mark.slow
 def test_dropout_option_trains_and_randomizes():
     """dropout_rate>0 + dropout rng: active in train, off at eval."""
     from avvad_tpu.models import AudioVAD

@@ -3,12 +3,14 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from avvad_tpu.models import AVVAD, VideoVAD
 from avvad_tpu.train import create_train_state, save_checkpoint
 from avvad_tpu.train.checkpoint import load_pretrained_trunk
 
 
+@pytest.mark.slow
 def test_trunk_transfer_params_and_batch_stats(tmp_path):
     # "pretrain" a video net (just perturb its trunk stats so transfer is
     # observable)

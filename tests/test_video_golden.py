@@ -39,6 +39,7 @@ def _proc_video(ref_subset, mat_path, suffix=""):
         return f["X"][:]
 
 
+@pytest.mark.slow
 def test_decode_matches_raw_rate_fixture(ref_subset):
     checked = 0
     for mat_path in _mat_files(ref_subset):
@@ -54,6 +55,7 @@ def test_decode_matches_raw_rate_fixture(ref_subset):
     assert checked >= 6
 
 
+@pytest.mark.slow
 def test_upsample_matches_fixture(ref_subset):
     checked = 0
     for mat_path in _mat_files(ref_subset):

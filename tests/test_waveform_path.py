@@ -34,6 +34,7 @@ def test_waveform_source_and_batching(root):
     assert batch.time_lengths is not None
 
 
+@pytest.mark.slow
 def test_raw_audio_vad_trains(root):
     src = AudioWaveformSource(root, "train", "subset", "vad_labels",
                               upsampled=False)
@@ -59,6 +60,7 @@ def test_raw_audio_vad_trains(root):
     assert losses[-1] < losses[0]
 
 
+@pytest.mark.slow
 def test_remat_video_tower_matches_no_remat():
     from avvad_tpu.models import VideoVAD
 
