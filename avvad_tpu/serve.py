@@ -268,6 +268,28 @@ class _MultiStreamBase:
         return [(a * hn + (1 - a) * ho, a * cn + (1 - a) * co)
                 for (hn, cn), (ho, co) in zip(new_carries, carries)]
 
+    def _finish_tick(self, probs, active, fetch):
+        """Tail shared by every tick(): stash the raw (device probs,
+        active) pair for the pipelined path, then return per-stream
+        results. fetch=None is the raw mode tick_pipelined uses — no
+        per-row slicing (each row slice is its own tiny device dispatch,
+        needless when the caller only wants the stashed pair). `active`
+        is copied: the hub reuses its assemble buffers, so the stashed
+        mask would otherwise be zeroed in place by the NEXT tick."""
+        self._raw_tick = (probs, np.array(active, copy=True))
+        if fetch is None:
+            return True
+        if fetch:
+            probs = np.asarray(probs)
+        return {i: probs[i] for i in range(self.n) if active[i]}
+
+    def _fetch_pending(self, prev) -> dict:
+        if prev is None:
+            return {}
+        probs = np.asarray(prev[0])
+        active = prev[1]
+        return {i: probs[i] for i in range(self.n) if active[i]}
+
     def tick_pipelined(self) -> dict:
         """Two-deep pipelined tick: dispatch THIS tick asynchronously and
         return the PREVIOUS tick's (by now computed) probabilities.
@@ -282,26 +304,33 @@ class _MultiStreamBase:
         call flush_pipelined() after the last tick to drain the tail.
         reset()/reset_stream() do not cancel a pending tick — its results
         predate the reset and are returned as-is."""
-        out = self.tick(fetch=False)
         prev = getattr(self, "_pending_tick", None)
-        self._pending_tick = out or None
-        if not prev:
-            return {}
-        keys = list(prev)
-        # one stacked fetch: per-row np.asarray would round-trip the
-        # tunnel once per stream
-        rows = np.asarray(jnp.stack([prev[k] for k in keys]))
-        return {k: rows[j] for j, k in enumerate(keys)}
+        if prev is not None:
+            # start the D2H of the pending results BEFORE dispatching this
+            # tick: the executor runs programs in order, so a copy enqueued
+            # after the new dispatch would wait for the NEW compute too —
+            # exactly the serialization this method exists to avoid
+            prev[0].copy_to_host_async()
+        self._raw_tick = None
+        out = self.tick(fetch=None)
+        self._pending_tick = self._raw_tick if out else None
+        return self._fetch_pending(prev)
 
     def flush_pipelined(self) -> dict:
         """Fetch the pending pipelined tick (if any) without dispatching."""
         prev = getattr(self, "_pending_tick", None)
         self._pending_tick = None
-        if not prev:
-            return {}
-        keys = list(prev)
-        rows = np.asarray(jnp.stack([prev[k] for k in keys]))
-        return {k: rows[j] for j, k in enumerate(keys)}
+        return self._fetch_pending(prev)
+
+    def pending_streams(self) -> set:
+        """Stream indices with results still in flight from the last
+        tick_pipelined (so a server knows not to drop a draining
+        connection whose final block's output has not been fetched yet)."""
+        prev = getattr(self, "_pending_tick", None)
+        if prev is None:
+            return set()
+        active = prev[1]
+        return {i for i in range(self.n) if active[i]}
 
 
 class MultiStreamVAD(_MultiStreamBase):
@@ -462,9 +491,7 @@ class MultiStreamVAD(_MultiStreamBase):
             self.variables, _put_streams(blocks, sh),
             _put_streams(peaks, sh), _put_streams(active, sh),
             self._carries)
-        if fetch:
-            probs = np.asarray(probs)
-        return {i: probs[i] for i in range(self.n) if active[i]}
+        return self._finish_tick(probs, active, fetch)
 
 
 class StreamingAVVAD:
@@ -878,9 +905,7 @@ class MultiStreamAVVAD(_MultiStreamBase, _CameraRateVideoMixin):
             self.variables, _put_streams(blocks, sh),
             _put_streams(self._vout, sh), *extra, _put_streams(peaks, sh),
             _put_streams(active, sh), self._carries)
-        if fetch:
-            probs = np.asarray(probs)
-        return {i: probs[i] for i in range(self.n) if active[i]}
+        return self._finish_tick(probs, active, fetch)
 
 
 class StreamingVideoVAD:
@@ -1080,6 +1105,4 @@ class MultiStreamVideoVAD(_MultiStreamBase, _CameraRateVideoMixin):
         probs, self._carries = self._step(
             self.variables, _put_streams(self._vout, sh), *extra,
             _put_streams(active, sh), self._carries)
-        if fetch:
-            probs = np.asarray(probs)
-        return {i: probs[i] for i in range(self.n) if active[i]}
+        return self._finish_tick(probs, active, fetch)

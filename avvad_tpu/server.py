@@ -67,8 +67,13 @@ class VADServer:
     connection = one stream."""
 
     def __init__(self, streamer, host: str = "127.0.0.1",
-                 port: int = 0):
+                 port: int = 0, pipelined: bool = False):
+        # pipelined: poll with the two-deep tick (serve.tick_pipelined) —
+        # results ship one block (block_frames/62.5 s) later, but the
+        # device H2D/compute/D2H of consecutive ticks overlap (measured
+        # ~25% lower tick wall time at 32 streams; BENCH_NOTES round 4)
         self.streamer = streamer
+        self.pipelined = pipelined
         self._av = isinstance(streamer,
                               (MultiStreamAVVAD, MultiStreamVideoVAD))
         # audio sample wire dtype follows the streamer (audio_int16)
@@ -258,7 +263,8 @@ class VADServer:
                 self._accept()
             else:
                 self._read(key.fileobj)
-        results = self.streamer.tick(fetch=True)
+        results = (self.streamer.tick_pipelined() if self.pipelined
+                   else self.streamer.tick(fetch=True))
         for slot, probs in results.items():
             conn = self._slot_conn.get(slot)
             if conn is None:
@@ -268,9 +274,13 @@ class VADServer:
             except (BlockingIOError, ConnectionError):
                 self._drop(conn)
         # drained half-closed connections: drop once no full block remains
+        # (pipelined: nor a result still in flight from the last dispatch)
+        pending = (self.streamer.pending_streams() if self.pipelined
+                   else ())
         for conn in list(self._closing):
             slot = self._conn_slot.get(conn)
-            if slot is None or not self.streamer.has_full_block(slot):
+            if slot is None or (not self.streamer.has_full_block(slot)
+                                and slot not in pending):
                 self._drop(conn)
         return len(results)
 

@@ -79,6 +79,11 @@ def main():
                         "gather onto the 62.5 fps timeline on device "
                         "(bit-exact vs pre-upsampled feeding, ~2.08x less "
                         "video payload and tower compute at 30 fps)")
+    p.add_argument("--pipelined", action="store_true",
+                   help="two-deep pipelined ticks: results ship one block "
+                        "later, consecutive ticks' transfers and compute "
+                        "overlap (~25-42%% lower tick wall time measured "
+                        "at 32 streams; see BENCH_NOTES round 4)")
     p.add_argument("--data-parallel", type=int, default=0,
                    help="shard streams over a data-axis mesh of this size "
                         "(must divide --streams; per-stream ticks need no "
@@ -116,7 +121,8 @@ def main():
         from avvad_tpu.export import load_multistream_server
 
         streamer = load_multistream_server(args.artifact)
-        server = VADServer(streamer, host=args.host, port=args.port)
+        server = VADServer(streamer, host=args.host, port=args.port,
+                       pipelined=args.pipelined)
         print(f"listening on {server.address[0]}:{server.address[1]} "
               f"(artifact {args.artifact}: {streamer.n} stream slots, "
               f"block={streamer.block_frames} frames)")
@@ -187,7 +193,8 @@ def main():
                              norm_stats=norm_stats,
                              block_frames=args.block_frames, mesh=mesh,
                              **wire_kw)
-    server = VADServer(streamer, host=args.host, port=args.port)
+    server = VADServer(streamer, host=args.host, port=args.port,
+                       pipelined=args.pipelined)
     print(f"listening on {server.address[0]}:{server.address[1]} "
           f"({args.modality}, {args.streams} stream slots, "
           f"block={args.block_frames} frames)")

@@ -731,18 +731,30 @@ def test_tick_pipelined_matches_sync_one_tick_late():
                 ms.feed(i, c)
             outs.append(ms.tick_pipelined() if pipelined
                         else ms.tick(fetch=True))
+        # trailing EMPTY ticks: the pending result must survive them (the
+        # hub reuses its assemble buffers — regression guard for the
+        # in-place active-mask zeroing bug)
+        for _ in range(2):
+            outs.append(ms.tick_pipelined() if pipelined
+                        else ms.tick(fetch=True))
         if pipelined:
             outs.append(ms.flush_pipelined())
         return outs
 
     sync, piped = play(False), play(True)
     assert piped[0] == {}  # nothing pending on the first tick
-    assert len(piped) == len(sync) + 1
-    for t, want in enumerate(sync):
+    # every sync tick's output reappears one position later
+    for t, want in enumerate(sync[:len(chunks)]):
         got = piped[t + 1]
         assert set(got) == set(want)
         for k in want:
             np.testing.assert_allclose(got[k], want[k], atol=1e-6)
+    # per-stream concatenation must be identical overall (catches results
+    # lost across trailing empty ticks / the flush)
+    for i in range(2):
+        want = np.concatenate([o[i] for o in sync if i in o])
+        got = np.concatenate([o[i] for o in piped if i in o])
+        np.testing.assert_allclose(got, want, atol=1e-6)
     # flush with nothing pending is a clean no-op
     ms = MultiStreamVAD(model, variables, n_streams=1, block_frames=4)
     assert ms.flush_pipelined() == {}

@@ -584,3 +584,30 @@ def test_server_round_trip_int16_wire_matches_f32():
     # "P" messages dequantize exactly onto a FLOAT32 streamer too
     av_p_on_f32 = serve_av_once(sig_i, audio_wire="i16")
     np.testing.assert_array_equal(av_p_on_f32, av_base)
+
+
+def test_pipelined_server_round_trip_matches_single_stream():
+    """pipelined=True serves identical probabilities (one block later),
+    including the final block of a half-closing connection, whose result
+    is still in flight when the client stops sending."""
+    model, variables = _model_and_vars()
+    bf = 8
+    ms = MultiStreamVAD(model, variables, n_streams=2, block_frames=bf)
+    server = VADServer(ms, pipelined=True)
+    t = threading.Thread(target=server.serve_forever,
+                         kwargs={"timeout": 0.002}, daemon=True)
+    t.start()
+    try:
+        sig = _signals(1)[0]
+        cfg = ms.cfg
+        n_frames = 1 + (len(sig) - cfg.nfft) // cfg.hopsamp
+        n_out = (n_frames // bf) * bf
+        got = stream_client(server.address, sig, n_out)
+        sv = StreamingVAD(model, variables, block_frames=bf, fixed_peak=1.0)
+        ref = np.concatenate([sv.feed(sig), sv.flush()])[:n_out]
+        assert len(got) == n_out
+        np.testing.assert_allclose(got, ref, atol=1e-5)
+    finally:
+        server.stop()
+        t.join(timeout=10)
+        server.close()
