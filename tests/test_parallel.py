@@ -177,7 +177,7 @@ def test_multistream_serving_sharded_over_mesh_matches_single_device():
 
     mesh = make_mesh(n_data=8, n_model=1)
 
-    def run(mesh_arg):
+    def run(mesh_arg, pipelined=False):
         ms = MultiStreamVAD(model, variables, n_streams=8, block_frames=8,
                             max_backlog_blocks=256, mesh=mesh_arg)
         ms.warmup()  # must compile the same (sharded) signature as tick()
@@ -187,7 +187,11 @@ def test_multistream_serving_sharded_over_mesh_matches_single_device():
         ms.reset_stream(3)  # exercise .at[].set on (possibly) sharded carries
         ms.feed(3, sigs[3])
         for _ in range(6):
-            for i, p in ms.tick().items():
+            tick = ms.tick_pipelined if pipelined else ms.tick
+            for i, p in tick().items():
+                outs[i].append(p)
+        if pipelined:
+            for i, p in ms.flush_pipelined().items():
                 outs[i].append(p)
         return [np.concatenate(o) if o else np.zeros(0) for o in outs]
 
@@ -195,6 +199,13 @@ def test_multistream_serving_sharded_over_mesh_matches_single_device():
     got = run(mesh)
     for r, g in zip(ref, got):
         np.testing.assert_allclose(g, r, atol=1e-6)
+    # pipelined ticks over the mesh: same concatenated outputs (the
+    # async D2H of a sharded pending tick must assemble correctly)
+    piped = run(mesh, pipelined=True)
+    for r, g in zip(ref, piped):
+        assert len(g) >= len(r) - 8  # at most the undispatched tail block
+        np.testing.assert_allclose(g[:len(r)][: len(g)], r[: len(g)],
+                                   atol=1e-6)
 
     # AV variant: one sharded tick runs and matches unmeshed
     av = AVVAD(y_dim=1, lstm_hidden_size=16, lstm_layers=2, use_mcb=True)
