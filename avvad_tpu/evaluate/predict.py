@@ -121,19 +121,13 @@ def evaluate_split(
     n_utts = 0
     n_frames = 0
 
-    for batch in loader:
-        # utterance identity rides on the batch itself (indices; -1 on
-        # padded rows), so shuffled or re-bucketed loaders can't mislabel
-        # predictions
-        row_indices = np.asarray(batch.indices)
-        if mesh is not None:
-            from ..parallel import shard_batch
-
-            batch = shard_batch(mesh, batch)
-        y_soft = np.asarray(predict(state, batch, norm_stats))  # (B, T, y)
-        for row in range(batch.batch_size):
+    def drain(y_soft_dev, row_indices, lengths):
+        """Fetch one batch's predictions and write its files."""
+        nonlocal n_utts, n_frames
+        y_soft = np.asarray(y_soft_dev)  # (B, T, y)
+        for row in range(len(row_indices)):
             src_i = int(row_indices[row])
-            length = int(batch.lengths[row])
+            length = int(lengths[row])
             if src_i < 0 or length == 0:
                 continue  # padded batch row
             noisy_rel = source.rel_path(src_i)
@@ -145,6 +139,30 @@ def evaluate_split(
             write_predictions(classif_data_dir, noisy_rel, pred)
             n_utts += 1
             n_frames += length
+
+    # two-deep pipeline (same ordering rule as serve.tick_pipelined):
+    # start the async D2H of batch N-1's predictions BEFORE dispatching
+    # batch N, then write N-1's files while N computes — the device never
+    # idles on host file I/O and the host never blocks on a per-batch sync
+    pending = None  # (device predictions, row indices, lengths)
+    for batch in loader:
+        # utterance identity rides on the batch itself (indices; -1 on
+        # padded rows), so shuffled or re-bucketed loaders can't mislabel
+        # predictions
+        row_indices = np.asarray(batch.indices)
+        lengths = np.asarray(batch.lengths)
+        if mesh is not None:
+            from ..parallel import shard_batch
+
+            batch = shard_batch(mesh, batch)
+        if pending is not None:
+            pending[0].copy_to_host_async()
+        y_dev = predict(state, batch, norm_stats)
+        prev, pending = pending, (y_dev, row_indices, lengths)
+        if prev is not None:
+            drain(*prev)
+    if pending is not None:
+        drain(*pending)
 
     elapsed = time.perf_counter() - t0
     report = {

@@ -261,6 +261,13 @@ def cmd_train(args):
     for epoch in range(1, args.epochs + 1):
         t0 = time.perf_counter()
         model.train()
+        # pin the loader to the trainer's 1-based epoch numbering so the
+        # augmenting source re-seeds EXACTLY like scripts/train.py
+        # (trainer.py sets loader.epoch = epoch; the loader's own
+        # auto-increment is 0-based). The round-4 duel run predates this
+        # line and saw the same realization stream shifted one epoch —
+        # distributionally identical (fresh grid noise every epoch).
+        train_dl.epoch = epoch
         tloss = run_epoch(model, train_dl, norm, args, optimizer)
         model.eval()
         vloss = run_epoch(model, valid_dl, norm, args)
