@@ -301,16 +301,9 @@ def _load_frozen_video_trunk(model, video_ckpt_dir):
 
 
 def cmd_eval(args):
-    _, _ = args.model_dir, args.output_dir
-    from avvad_tpu.data import DataLoader
+    from avvad_tpu.data import (AudioSequenceSource, AudioVisualSource,
+                                DataLoader)
     from avvad_tpu.evaluate.predict import write_predictions
-
-    args_augment = args.augment
-    args.augment = False  # eval reads the rendered grid from disk
-    test_src, _ = make_sources(args)
-    args.augment = args_augment
-    # sources: make_sources builds (train, valid); rebuild for the split
-    from avvad_tpu.data import AudioSequenceSource, AudioVisualSource
 
     processed = os.path.join(args.data_root, args.dataset_size, "processed/")
     if args.modality == "audio":
