@@ -71,7 +71,17 @@ def _serving_shardings(mesh, n_streams: int):
 
 
 def _put_streams(x, sharding):
-    """Host array -> device, stream-sharded when a serving mesh is set."""
+    """Host array -> device, stream-sharded when a serving mesh is set.
+
+    numpy inputs are COPIED first: on the CPU backend jnp.asarray aliases
+    host memory, and the hub reuses its assemble buffers — a tick left
+    in flight (tick(fetch=False), tick_pipelined) would otherwise read
+    whatever the NEXT assemble wrote over them (caught as an
+    order-dependent test flake; on real TPUs the H2D transfer is a true
+    copy, so this only ever corrupted CPU runs). The memcpy is tens of
+    µs against multi-ms ticks."""
+    if isinstance(x, np.ndarray):
+        x = np.array(x, copy=True)
     x = jnp.asarray(x)
     return x if sharding is None else jax.device_put(x, sharding)
 
