@@ -42,11 +42,28 @@ class Batch(NamedTuple):
         return int(self.mask.shape[1])
 
 
-def bucket_length(t: int, bucket: Optional[int]) -> int:
-    """Round t up to a multiple of `bucket` (identity if bucket is falsy)."""
+def bucket_length(t: int, bucket: Optional[int],
+                  ladder: bool = False) -> int:
+    """Round t up to a multiple of `bucket` (identity if bucket is falsy).
+
+    With `ladder=True` the multiple is further rounded up onto the
+    geometric ladder {1, 2, 3, 4, 6, 8, 12, 16, ...}·bucket (alternating
+    x1.5/x1.33 steps): distinct padded lengths grow O(log T) instead of
+    O(T/bucket), so a whole split compiles a handful of XLA programs at
+    <50% padded-frame overhead — the first-run compile-latency fix for
+    complete-corpus evaluation (cold remote TPU compiles cost minutes per
+    shape; padded compute at inference costs microseconds)."""
     if not bucket:
         return t
-    return ((t + bucket - 1) // bucket) * bucket
+    m = (t + bucket - 1) // bucket
+    if ladder and m > 4:
+        # smallest element of {4, 6, 8, 12, 16, 24, ...} = {2^k, 3*2^k} >= m
+        c, half_step = 4, True
+        while c < m:
+            c = c * 3 // 2 if half_step else c * 4 // 3
+            half_step = not half_step
+        m = c
+    return m * bucket
 
 
 def _pad_time(arrs: list[np.ndarray], t_pad: int) -> np.ndarray:
@@ -57,11 +74,14 @@ def _pad_time(arrs: list[np.ndarray], t_pad: int) -> np.ndarray:
 
 
 def pad_batch(items: list[dict], bucket: Optional[int] = None,
+              bucket_ladder: bool = False,
               pad_batch_to: Optional[int] = None,
               source_indices: Optional[list] = None) -> Batch:
     """Zero-pad a list of utterance dicts into a Batch.
 
-    `bucket` buckets the time dimension; `pad_batch_to` pads the batch
+    `bucket` buckets the time dimension (`bucket_ladder` snaps the
+    multiple onto the geometric ladder, see bucket_length);
+    `pad_batch_to` pads the batch
     dimension with repeated last items masked to length 0 (for fixed-B jit
     programs on the final partial batch). `source_indices` (one per item)
     are carried on the Batch, -1 on padded rows.
@@ -84,7 +104,8 @@ def pad_batch(items: list[dict], bucket: Optional[int] = None,
             [indices, np.full(len(items) - n_real, -1, dtype=np.int32)]
         )
 
-    t_pad = bucket_length(max(it["length"] for it in items), bucket)
+    t_pad = bucket_length(max(it["length"] for it in items), bucket,
+                          ladder=bucket_ladder)
 
     def maybe(key):
         if key not in items[0]:

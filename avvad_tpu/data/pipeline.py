@@ -33,6 +33,7 @@ class DataLoader:
         shuffle: bool = True,
         seed: int = 0,
         bucket: Optional[int] = None,
+        bucket_ladder: bool = False,
         pad_batch_to_full: bool = False,
         sort_pool_factor: int = 0,
         num_workers: int = 8,
@@ -43,6 +44,7 @@ class DataLoader:
         self.shuffle = shuffle
         self.seed = seed
         self.bucket = bucket
+        self.bucket_ladder = bucket_ladder
         self.pad_batch_to_full = pad_batch_to_full
         self.sort_pool_factor = sort_pool_factor
         self.num_workers = num_workers
@@ -115,7 +117,9 @@ class DataLoader:
                          for i in batches[bi + 2]]
                     )
                 items = [f.result() for f in futures[bi]]
-                yield pad_batch(items, bucket=self.bucket, pad_batch_to=pad_to,
+                yield pad_batch(items, bucket=self.bucket,
+                                bucket_ladder=self.bucket_ladder,
+                                pad_batch_to=pad_to,
                                 source_indices=[int(i) for i in b])
         self.epoch += 1
 

@@ -89,6 +89,7 @@ def evaluate_split(
     norm_stats: Optional[dict] = None,
     batch_size: int = 8,
     bucket: int = 128,
+    bucket_ladder: bool = True,
     eps: float = 1e-8,
     verbose: bool = True,
     mesh=None,
@@ -112,10 +113,16 @@ def evaluate_split(
             )
         state = state.replace(params=shard_params(mesh, state.params))
     # length-sorted pooling minimizes padding waste; safe with any batch
-    # order because utterance identity rides on Batch.indices
+    # order because utterance identity rides on Batch.indices. The
+    # geometric bucket ladder (default on) caps the number of distinct
+    # padded shapes — a cold complete-corpus run compiles O(log T_max)
+    # XLA programs instead of one per 128-frame length class; outputs are
+    # identical because eval-mode forwards are trailing-pad-invariant
+    # (causal LSTM scan, per-frame towers, running-stat BN) and padded
+    # frames are dropped at write time.
     loader = DataLoader(source, batch_size=batch_size, shuffle=False,
-                        bucket=bucket, pad_batch_to_full=True,
-                        sort_pool_factor=4)
+                        bucket=bucket, bucket_ladder=bucket_ladder,
+                        pad_batch_to_full=True, sort_pool_factor=4)
 
     t0 = time.perf_counter()
     n_utts = 0

@@ -36,6 +36,13 @@ def parse_args():
                    help="where predictions land (classif_data_dir)")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--bucket", type=int, default=128)
+    p.add_argument("--bucket-ladder", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="snap padded lengths onto the geometric bucket "
+                        "ladder: O(log T) distinct XLA programs per split "
+                        "instead of one per 128-frame class (identical "
+                        "predictions; --no-bucket-ladder restores linear "
+                        "bucketing)")
     p.add_argument("--lstm-hidden", type=int, default=1024)
     p.add_argument("--lstm-layers", type=int, default=2)
     p.add_argument("--mcb", action=argparse.BooleanOptionalAction, default=True)
@@ -199,7 +206,7 @@ def main():
     report = evaluate_split(state, source, args.modality,
                             args.output_dir + os.sep, norm_stats=norm_stats,
                             batch_size=args.batch_size, bucket=args.bucket,
-                            mesh=mesh)
+                            bucket_ladder=args.bucket_ladder, mesh=mesh)
     print(report)
 
 

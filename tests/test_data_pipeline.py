@@ -195,3 +195,44 @@ def test_batch_indices_identify_rows(root):
                                           np.asarray(item["audio"], np.float32))
             seen.append(idx)
     assert sorted(seen) == list(range(len(src)))
+
+
+def test_bucket_ladder_values():
+    """Geometric ladder: identity through 4x, then {2^k, 3*2^k} multiples."""
+    from avvad_tpu.data.batching import bucket_length
+
+    got = [bucket_length(m * 64 - 1, 64, ladder=True) // 64
+           for m in (1, 2, 3, 4, 5, 7, 9, 13, 17, 25)]
+    assert got == [1, 2, 3, 4, 6, 8, 12, 16, 24, 32]
+    for t in (1, 100, 700, 3000, 8191):
+        assert bucket_length(t, 64, ladder=True) >= t
+    # falsy bucket stays identity regardless of ladder
+    assert bucket_length(999, None, ladder=True) == 999
+    # linear mode unchanged
+    assert bucket_length(321, 64) == 384
+
+
+def test_dataloader_bucket_ladder_bounds_shape_count():
+    """A wide length spread compiles O(log T) shapes with the ladder on,
+    O(T/bucket) off — the complete-corpus first-run compile fix."""
+
+    class _Synth:
+        lengths = list(range(70, 3600, 97))
+
+        def __len__(self):
+            return len(self.lengths)
+
+        def __getitem__(self, i):
+            n = self.lengths[i]
+            return {"audio": np.zeros((n, 5), np.float32),
+                    "label": np.zeros((n, 1), np.float32),
+                    "length": n}
+
+    def shapes(**kw):
+        dl = DataLoader(_Synth(), batch_size=2, shuffle=False, bucket=64,
+                        num_workers=2, **kw)
+        return {b.max_frames for b in dl}
+
+    linear, ladder = shapes(), shapes(bucket_ladder=True)
+    assert len(ladder) <= 8 < len(linear)
+    assert all(t % 64 == 0 for t in ladder)

@@ -246,3 +246,27 @@ def test_calibrate_quant_scales_and_static_eval(root, tmp_path):
         _, soft = prediction_paths(classif_dir, src.rel_path(i))
         y = np.load(soft)
         assert np.isfinite(y).all() and (0 <= y).all() and (y <= 1).all()
+
+
+def test_bucket_ladder_predictions_identical(root, tmp_path):
+    """The geometric bucket ladder only changes trailing padding, and
+    eval-mode forwards are trailing-pad-invariant (causal LSTM scan,
+    per-frame heads) — so predictions must match linear bucketing."""
+    src = AudioSequenceSource(root, "test", "subset", "vad_labels",
+                              upsampled=False)
+    model = AudioVAD(y_dim=1, lstm_hidden_size=16, lstm_layers=1)
+    state = create_train_state(model, jax.random.PRNGKey(1),
+                               (jnp.zeros((1, 32, 513)),))
+
+    dirs = {}
+    for name, ladder in (("linear", False), ("ladder", True)):
+        d = str(tmp_path / name) + os.sep
+        evaluate_split(state, src, "audio", d, batch_size=2, bucket=32,
+                       bucket_ladder=ladder, verbose=False)
+        dirs[name] = d
+
+    for i in range(len(src)):
+        for which in (0, 1):  # hard, soft
+            a = np.load(prediction_paths(dirs["linear"], src.rel_path(i))[which])
+            b = np.load(prediction_paths(dirs["ladder"], src.rel_path(i))[which])
+            np.testing.assert_allclose(a, b, rtol=0, atol=1e-6)
