@@ -312,8 +312,9 @@ class _MultiStreamBase:
         counterpart of tick(fetch=False), which defers synchronization
         indefinitely. Returns {} for the first tick (nothing pending yet);
         call flush_pipelined() after the last tick to drain the tail.
-        reset()/reset_stream() do not cancel a pending tick — its results
-        predate the reset and are returned as-is."""
+        reset_stream(i) scrubs stream i from the pending tick and reset()
+        drops it entirely — pre-reset results are never delivered to a
+        recycled slot."""
         prev = getattr(self, "_pending_tick", None)
         if prev is not None:
             # start the D2H of the pending results BEFORE dispatching this
@@ -341,6 +342,24 @@ class _MultiStreamBase:
             return set()
         active = prev[1]
         return {i for i in range(self.n) if active[i]}
+
+    def cancel_pending(self, stream_idx: int) -> None:
+        """Scrub one stream from the pending pipelined tick. A recycled
+        slot (reset_stream) must not deliver its in-flight result: the
+        probabilities predate the reset, and a server that reassigns the
+        slot before the next tick_pipelined fetch would otherwise send
+        the OLD stream's output to the NEW connection (cross-client data
+        delivery). The stashed `active` mask is a private copy
+        (_finish_tick copies it), so zeroing in place is safe."""
+        prev = getattr(self, "_pending_tick", None)
+        if prev is not None:
+            prev[1][stream_idx] = 0.0
+
+    def _cancel_all_pending(self) -> None:
+        """Whole-streamer reset: drop any in-flight pipelined tick
+        entirely (its results predate the reset). flush_pipelined keeps
+        its drain semantics for orderly end-of-stream shutdown."""
+        self._pending_tick = None
 
 
 class MultiStreamVAD(_MultiStreamBase):
@@ -410,6 +429,7 @@ class MultiStreamVAD(_MultiStreamBase):
     def reset(self) -> None:
         self._hub.reset()
         self._carries = self._zero_carries()
+        self._cancel_all_pending()
 
     def _build_step(self):
         model = self.model
@@ -483,6 +503,7 @@ class MultiStreamVAD(_MultiStreamBase):
         carries (other streams are untouched)."""
         self._hub.reset_stream(stream_idx)
         self._clear_carry_row(stream_idx)
+        self.cancel_pending(stream_idx)
 
     def tick(self, fetch: bool = True) -> dict:
         """Advance every stream with >= block_frames buffered; returns
@@ -786,6 +807,7 @@ class MultiStreamAVVAD(_MultiStreamBase, _CameraRateVideoMixin):
                        for _ in range(self.n)]
         self._camera_reset()
         self._carries = self._zero_carries()
+        self._cancel_all_pending()
 
     def _build_step(self):
         model = self.model
@@ -894,6 +916,7 @@ class MultiStreamAVVAD(_MultiStreamBase, _CameraRateVideoMixin):
         self._vbufs[stream_idx] = np.zeros((0, 67, 67), self._vdtype)
         self._camera_reset_stream(stream_idx)
         self._clear_carry_row(stream_idx)
+        self.cancel_pending(stream_idx)
 
     def tick(self, fetch: bool = True) -> dict:
         """Advance every stream with a full audio AND video block; returns
@@ -1029,6 +1052,7 @@ class MultiStreamVideoVAD(_MultiStreamBase, _CameraRateVideoMixin):
                        for _ in range(self.n)]
         self._camera_reset()
         self._carries = self._zero_carries()
+        self._cancel_all_pending()
 
     def _build_step(self):
         model = self.model
@@ -1098,6 +1122,7 @@ class MultiStreamVideoVAD(_MultiStreamBase, _CameraRateVideoMixin):
         self._vbufs[stream_idx] = np.zeros((0, 67, 67), self._vdtype)
         self._camera_reset_stream(stream_idx)
         self._clear_carry_row(stream_idx)
+        self.cancel_pending(stream_idx)
 
     def tick(self, fetch: bool = True) -> dict:
         """Advance every stream with a full video block; returns

@@ -105,10 +105,16 @@ class VADServer:
         if not self._free:
             # half-closed connections whose buffered blocks have drained
             # are only dropped at end-of-poll; reclaim them now so a new
-            # client is not refused for a slot that is effectively free
+            # client is not refused for a slot that is effectively free.
+            # Mirror poll()'s drain rule: a draining client whose final
+            # block's result is still in flight (pipelined) keeps its slot
+            # until that result has been delivered.
+            pending = (self.streamer.pending_streams() if self.pipelined
+                       else ())
             for c in list(self._closing):
                 slot = self._conn_slot.get(c)
-                if slot is None or not self.streamer.has_full_block(slot):
+                if slot is None or (not self.streamer.has_full_block(slot)
+                                    and slot not in pending):
                     self._drop(c)
         if not self._free:
             conn.close()  # all stream slots busy

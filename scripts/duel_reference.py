@@ -275,7 +275,8 @@ def cmd_train(args):
         line = (f"Epoch: {epoch}  [Train] Loss: {tloss:.2f}  "
                 f"[Validation] Loss: {vloss:.2f}  ({dt:.1f}s)")
         print(line, flush=True)
-        print(line, file=open(log, "a"))
+        with open(log, "a") as fh:
+            print(line, file=fh)
         if vloss < best_v:  # keep disk small: save improvements only
             best_v = vloss
             torch.save(model.state_dict(), os.path.join(

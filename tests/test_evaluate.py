@@ -213,7 +213,6 @@ def test_score_video_split(root, tmp_path):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_calibrate_quant_scales_and_static_eval(root, tmp_path):
     """int8 serving flow on real fixture data: calibrate activation scales
     on the train split, then evaluate the test split with the static

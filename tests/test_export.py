@@ -364,7 +364,6 @@ def test_mesh_sharded_server_artifact(tmp_path):
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_sharded_serving_artifact(tmp_path):
     """Multi-chip export: a data-sharded serving program round-trips and
     replays on the virtual 8-device mesh with per-device batch rows."""
@@ -423,7 +422,6 @@ def test_artifact_server_preserves_stft_geometry(tmp_path):
     np.testing.assert_allclose(got[0], want[0], atol=1e-6)
 
 
-@pytest.mark.slow
 @pytest.mark.slow
 def test_int8_tower_artifact_round_trip(tmp_path):
     """The quantized serving tower exports and replays (dynamic W8A8:

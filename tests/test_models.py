@@ -390,7 +390,6 @@ def test_misc_model_utils():
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_int8_tower_close_to_fp32():
     """W8A8 int8-resident trunk tracks the fp32 trunk closely enough for
     probability-level work (quality is gated on the trained model's metrics
@@ -532,7 +531,6 @@ def test_unique_frame_tower_matches_upsampled():
     np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=1e-6)
 
 
-@pytest.mark.slow
 @pytest.mark.slow
 def test_chunked_tower_matches_single_pass():
     """`tower_chunk` bounds peak trunk activation memory by scanning the

@@ -149,7 +149,6 @@ def test_opt_state_moments_carry_param_sharding():
 
 
 @pytest.mark.slow
-@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
 

@@ -758,3 +758,34 @@ def test_tick_pipelined_matches_sync_one_tick_late():
     # flush with nothing pending is a clean no-op
     ms = MultiStreamVAD(model, variables, n_streams=1, block_frames=4)
     assert ms.flush_pipelined() == {}
+
+
+def test_reset_stream_cancels_pending_pipelined_result():
+    """A recycled slot must NOT deliver the in-flight pipelined result of
+    the stream that previously owned it (cross-client data delivery —
+    advisor finding r4). reset_stream scrubs the slot from the pending
+    tick; other streams' pending results are unaffected; reset() drops
+    the whole pending tick."""
+    from avvad_tpu.serve import MultiStreamVAD
+
+    model, variables = _model_and_vars(h=8)
+    rng = np.random.default_rng(1)
+    pcm = rng.normal(size=4 * 256 + 768).astype(np.float32) * 0.1
+
+    ms = MultiStreamVAD(model, variables, n_streams=2, block_frames=4)
+    ms.feed(0, pcm)
+    ms.feed(1, pcm)
+    assert ms.tick_pipelined() == {}          # both results now in flight
+    assert ms.pending_streams() == {0, 1}
+    ms.reset_stream(0)                        # slot 0 recycled mid-flight
+    assert ms.pending_streams() == {1}
+    out = ms.flush_pipelined()
+    assert set(out) == {1}                    # slot 0's stale probs gone
+
+    # whole-streamer reset drops the pending tick entirely
+    ms.feed(0, pcm)
+    ms.feed(1, pcm)
+    assert ms.tick_pipelined() == {}
+    ms.reset()
+    assert ms.pending_streams() == set()
+    assert ms.flush_pipelined() == {}
