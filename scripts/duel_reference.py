@@ -9,6 +9,7 @@ own code on the same data. This harness closes that gap:
 
 - The model is the reference's actual nn.Module
   (/root/reference/packages/models/Audio_Net.py:11 DeepVAD_audio;
+  /root/reference/packages/models/Video_Net.py:12 DeepVAD_video;
   /root/reference/packages/models/AV_Net.py:12 DeepVAD_AV), imported
   unmodified (tests/torch_oracles.py provides the torchvision/legacy-FFT
   shims the image lacks).
@@ -96,7 +97,7 @@ def reference_bce(logits, target):
 
 def make_sources(args):
     from avvad_tpu.data import (AudioSequenceSource, AudioVisualSource,
-                                AugmentingSource)
+                                AugmentingSource, VideoSequenceSource)
 
     processed = os.path.join(args.data_root, args.dataset_size, "processed/")
 
@@ -104,11 +105,18 @@ def make_sources(args):
         if args.modality == "audio":
             return AudioSequenceSource(processed, split, args.dataset_size,
                                        args.labels, upsampled=True)
+        if args.modality == "video":
+            return VideoSequenceSource(processed, split, args.labels,
+                                       upsampled=True)
         return AudioVisualSource(processed, split, args.dataset_size,
                                  args.labels, upsampled=True)
 
     train_src, valid_src = source("train"), source("validation")
     if args.augment:
+        if args.modality == "video":
+            raise SystemExit("--augment remixes audio; video-only training "
+                             "has no noise to augment (scripts/train.py "
+                             "enforces the same)")
         train_src = AugmentingSource(train_src, seed=args.seed)
     return train_src, valid_src
 
@@ -120,6 +128,12 @@ def build_model(args):
 
         return DeepVAD_audio(args.lstm_layers, args.lstm_hidden, args.y_dim)
     install_fake_torchvision()
+    if args.modality == "video":
+        # /root/reference/scripts/train_video_net.py:142 — full ResNet-18 +
+        # LSTM trained from scratch (pretrained=False), nothing frozen
+        from packages.models.Video_Net import DeepVAD_video
+
+        return DeepVAD_video(args.lstm_layers, args.lstm_hidden, args.y_dim)
     install_legacy_fft()
     from packages.models.AV_Net import DeepVAD_AV
 
@@ -129,11 +143,16 @@ def build_model(args):
 
 def batch_tensors(batch, norm, args):
     """Batch -> normalized torch tensors, the reference's normalization
-    order (train_audio_net.py:221-223 / train_AV_net.py:286-291)."""
-    x = torch.from_numpy(np.asarray(batch.audio))
-    x = (x - norm["audio_mean"]) / (norm["audio_std"] + EPS)
+    order (train_audio_net.py:221-223 / train_video_net.py:192-194 /
+    train_AV_net.py:286-291)."""
     y = torch.from_numpy(np.asarray(batch.label))
     lengths = torch.from_numpy(np.asarray(batch.lengths, np.int64))
+    if args.modality == "video":
+        v = torch.from_numpy(np.asarray(batch.video))
+        v = (v - norm["video_mean"]) / (norm["video_std"] + EPS)
+        return (v,), y, lengths
+    x = torch.from_numpy(np.asarray(batch.audio))
+    x = (x - norm["audio_mean"]) / (norm["audio_std"] + EPS)
     if args.modality == "audio":
         return (x,), y, lengths
     v = torch.from_numpy(np.asarray(batch.video))
@@ -193,13 +212,13 @@ def best_checkpoint(model_dir):
 
 
 def load_norm(model_dir, args):
-    norm = {
-        "audio_mean": torch.from_numpy(
-            np.load(os.path.join(model_dir, "trainset_mean.npy"))),
-        "audio_std": torch.from_numpy(
-            np.load(os.path.join(model_dir, "trainset_std.npy"))),
-    }
-    if args.modality == "av":
+    norm = {}
+    if args.modality in ("audio", "av"):
+        norm["audio_mean"] = torch.from_numpy(
+            np.load(os.path.join(model_dir, "trainset_mean.npy")))
+        norm["audio_std"] = torch.from_numpy(
+            np.load(os.path.join(model_dir, "trainset_std.npy")))
+    if args.modality in ("video", "av"):
         norm["video_mean"] = torch.tensor(
             float(np.load(os.path.join(model_dir, "trainset_video_mean.npy"))))
         norm["video_std"] = torch.tensor(
@@ -221,18 +240,21 @@ def cmd_train(args):
                           bucket=args.bucket, num_workers=1)
 
     os.makedirs(args.model_dir, exist_ok=True)
-    if args.augment:
-        mean, std = feature_stats(train_src)
-        print("augmented-grid audio statistics computed")
-    else:
-        mean, std = load_statistics(os.path.join(
-            args.data_root, args.dataset_size, "processed/ntcd_timit/Noisy",
-            "ntcd_timit_log_power_spec_upsampled_statistics.h5"))
-    np.save(os.path.join(args.model_dir, "trainset_mean.npy"), mean)
-    np.save(os.path.join(args.model_dir, "trainset_std.npy"), std)
-    norm = {"audio_mean": torch.from_numpy(mean),
-            "audio_std": torch.from_numpy(std)}
-    if args.modality == "av":
+    norm = {}
+    if args.modality in ("audio", "av"):
+        if args.augment:
+            mean, std = feature_stats(train_src)
+            print("augmented-grid audio statistics computed")
+        else:
+            mean, std = load_statistics(os.path.join(
+                args.data_root, args.dataset_size,
+                "processed/ntcd_timit/Noisy",
+                "ntcd_timit_log_power_spec_upsampled_statistics.h5"))
+        np.save(os.path.join(args.model_dir, "trainset_mean.npy"), mean)
+        np.save(os.path.join(args.model_dir, "trainset_std.npy"), std)
+        norm.update(audio_mean=torch.from_numpy(mean),
+                    audio_std=torch.from_numpy(std))
+    if args.modality in ("av", "video"):
         from avvad_tpu.data import load_statistics as _ls
 
         vm, vs = _ls(os.path.join(
@@ -303,13 +325,16 @@ def _load_frozen_video_trunk(model, video_ckpt_dir):
 
 def cmd_eval(args):
     from avvad_tpu.data import (AudioSequenceSource, AudioVisualSource,
-                                DataLoader)
+                                DataLoader, VideoSequenceSource)
     from avvad_tpu.evaluate.predict import write_predictions
 
     processed = os.path.join(args.data_root, args.dataset_size, "processed/")
     if args.modality == "audio":
         source = AudioSequenceSource(processed, args.split, args.dataset_size,
                                      args.labels, upsampled=True)
+    elif args.modality == "video":
+        source = VideoSequenceSource(processed, args.split, args.labels,
+                                     upsampled=True)
     else:
         source = AudioVisualSource(processed, args.split, args.dataset_size,
                                    args.labels, upsampled=True)
@@ -354,7 +379,8 @@ def main():
         description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("cmd", choices=["train", "eval"])
-    p.add_argument("--modality", choices=["audio", "av"], default="audio")
+    p.add_argument("--modality", choices=["audio", "video", "av"],
+                   default="audio")
     p.add_argument("--data-root", default="runs/quality/data")
     p.add_argument("--dataset-size", choices=["subset", "complete"],
                    default="subset")
