@@ -1,13 +1,25 @@
 """Worker process for the real multi-process jax.distributed test.
 
-Launched (2x) by tests/test_distributed.py. Each process owns 4 virtual
-CPU devices; together they form one 8-device global mesh. Runs ONE
-data-parallel train step on a deterministic synthetic batch — feeding
-only its own host-local rows via local_batch_slice +
-jax.make_array_from_process_local_data — and reports the loss, so the
-launcher can pin dp-step equality against the single-process oracle.
+Launched (2x or 4x) by tests/test_distributed.py. Each process owns
+8/n_proc virtual CPU devices; together they form one 8-device global
+mesh. Three phases, each pinned by the launcher against a
+single-process oracle:
 
-Usage: python distributed_worker.py <coordinator> <n_proc> <pid> <out.json>
+1. ONE data-parallel train step on a deterministic synthetic batch —
+   feeding only its own host-local rows via local_batch_slice +
+   jax.make_array_from_process_local_data — reporting the loss.
+2. Orbax checkpoint round-trip under jax.distributed: process 0 writes
+   the stepped params through train.checkpoint.save_checkpoint, all
+   hosts barrier then restore and verify bitwise equality with their
+   in-memory replicas (the multi-host analog of resume).
+3. Distributed evaluation: the utterance list is sharded across
+   processes (the reference's spawn-pool fan-out,
+   /root/reference/scripts/evaluate_audio_net.py:216-257), each host
+   runs jitted batch-1 inference on its shard only, and per-utterance
+   correct/total counts are merged with process_allgather.
+
+Usage: python distributed_worker.py <coordinator> <n_proc> <pid> \
+           <out.json> <ckpt_dir>
 """
 
 import json
@@ -28,9 +40,22 @@ import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 
+def eval_utterance(i, model, variables):
+    """Deterministic synthetic utterance i -> (n_correct, n_frames) under
+    jitted batch-1 inference (the shape the reference's eval pool runs)."""
+    rng = np.random.default_rng(100 + i)
+    T = int(rng.integers(6, 20))
+    x = jnp.asarray(rng.normal(size=(1, T, 513)).astype(np.float32))
+    y = (rng.uniform(size=(1, T, 1)) > 0.5).astype(np.float32)
+    logits = jax.jit(model.apply)(variables, x)
+    hard = np.asarray(jax.nn.sigmoid(logits) > 0.5, dtype=np.float32)
+    return float((hard == y).sum()), float(y.size)
+
+
 def main():
-    coordinator, n_proc, pid, out_path = (
-        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4])
+    coordinator, n_proc, pid, out_path, ckpt_dir = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4],
+        sys.argv[5])
 
     from avvad_tpu.parallel import (
         initialize_multihost,
@@ -74,6 +99,44 @@ def main():
     pnorm = jax.jit(lambda t: jnp.sqrt(sum(
         jnp.sum(v * v) for v in jax.tree_util.tree_leaves(t))))(new_params)
 
+    # --- phase 2: checkpoint round-trip (process-0 write, all-host
+    # restore). Params are replicated, so every host holds a full copy;
+    # the write is host-side numpy through the repo's own save path.
+    import types
+
+    from jax.experimental import multihost_utils
+
+    from avvad_tpu.train.checkpoint import latest_checkpoint, save_checkpoint
+
+    host_params = jax.tree_util.tree_map(
+        lambda a: np.asarray(jax.device_get(a)), new_params)
+    # Orbax save is itself a cross-process collective: EVERY process calls
+    # it; for host (numpy) trees only the primary process writes bytes
+    state = types.SimpleNamespace(params=host_params, opt_state={},
+                                  step=1, batch_stats=None, sketch=None,
+                                  quant=None)
+    save_checkpoint(ckpt_dir, state, epoch=1, valid_loss=0.0)
+    multihost_utils.sync_global_devices("ckpt_written")
+    import orbax.checkpoint as ocp
+
+    restored = ocp.StandardCheckpointer().restore(
+        os.path.abspath(latest_checkpoint(ckpt_dir)), target=None)
+    ckpt_equal = all(
+        np.array_equal(a, b) for a, b in zip(
+            jax.tree_util.tree_leaves(host_params),
+            jax.tree_util.tree_leaves(restored["params"])))
+
+    # --- phase 3: distributed evaluation — shard utterances by process,
+    # jitted batch-1 inference on host-local devices only, merge counts
+    n_utts = 6
+    my_utts = np.array_split(np.arange(n_utts), n_proc)[pid]
+    local = np.zeros(2, dtype=np.float32)
+    for i in my_utts:
+        c, t = eval_utterance(int(i), model, variables)
+        local += [c, t]
+    merged = np.asarray(multihost_utils.process_allgather(local)).sum(axis=0)
+    eval_accuracy = float(merged[0] / merged[1])
+
     with open(out_path, "w") as f:
         json.dump({
             "loss": float(loss),
@@ -82,6 +145,9 @@ def main():
             "n_devices": len(jax.devices()),
             "n_local_devices": len(jax.local_devices()),
             "local_slice": [sl.start, sl.stop],
+            "ckpt_equal": bool(ckpt_equal),
+            "eval_shard": [int(i) for i in my_utts],
+            "eval_accuracy": eval_accuracy,
         }, f)
 
 
