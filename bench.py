@@ -108,46 +108,55 @@ def _gate_and_record(mode: str, shape_key: str, winner: str,
     return extra
 
 
-def train_main():
-    """BASELINE.json config 5: end-to-end AV train step throughput."""
+def _train_bench_one(modality: str, freeze: bool, b: int, t: int,
+                     iters: int, reps: int, lstm_h: int) -> dict:
+    """Measure one jitted train-step config; returns the result record.
+
+    Configs mirror the reference recipes (BASELINE.json):
+    - av frozen:   train_AV_net.py:238-245 (Adam on non-trunk params;
+      optax set_to_zero lets XLA drop the trunk backward pass, exactly
+      as torch's requires_grad=False does; BN stats still update)
+    - av unfrozen: same step with the full ResNet backward
+    - audio:       train_audio_net.py:144-372 (2x1024 LSTM + head)
+    - video:       train_video_net.py:138-319 (full ResNet-18 trained
+      from scratch — nothing frozen)
+    """
     from avvad_tpu.data.batching import Batch
-    from avvad_tpu.models import AVVAD
+    from avvad_tpu.models import AVVAD, AudioVAD, VideoVAD
     from avvad_tpu.train.state import (create_train_state, make_optimizer,
                                        trainable_except_video_trunk)
     from avvad_tpu.train.steps import make_train_step
 
     fs, hop = 16000, 256
     frame_rate = fs / hop
-    b = int(os.environ.get("AVVAD_BENCH_TRAIN_B", "16"))
-    t = int(os.environ.get("AVVAD_BENCH_TRAIN_T", "512"))
-    iters = int(os.environ.get("AVVAD_BENCH_ITERS", "10"))
-    reps = int(os.environ.get("AVVAD_BENCH_REPS", "3"))
-    # The reference AV recipe: frozen ResNet trunk (train_AV_net.py:
-    # 238-245; optax set_to_zero lets XLA drop the trunk backward pass,
-    # exactly as torch's requires_grad=False does), BN batch stats
-    # updating, Adam 1e-4 on the rest. AVVAD_BENCH_TRAIN_FREEZE=0
-    # measures the full-backward (unfrozen) step instead.
-    freeze = os.environ.get("AVVAD_BENCH_TRAIN_FREEZE", "1") == "1"
-
-    # AVVAD_BENCH_TRAIN_H: off-TPU smoke only; the measured config is 1024.
-    lstm_h = int(os.environ.get("AVVAD_BENCH_TRAIN_H", "1024"))
-    model = AVVAD(y_dim=1, lstm_hidden_size=lstm_h, lstm_layers=2,
-                  use_mcb=True)
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(rng.normal(size=(b, t, 513)), jnp.float32)
+    video = jnp.asarray(rng.normal(size=(b, t, 67, 67)), jnp.float32)
+    if modality == "audio":
+        model = AudioVAD(y_dim=1, lstm_hidden_size=lstm_h, lstm_layers=2)
+        example = (jnp.zeros((1, 4, 513)),)
+        batch_kw = {"audio": audio, "video": None}
+    elif modality == "video":
+        model = VideoVAD(y_dim=1, lstm_hidden_size=lstm_h, lstm_layers=2)
+        example = (jnp.zeros((1, 4, 67, 67)),)
+        batch_kw = {"audio": None, "video": video}
+    else:
+        model = AVVAD(y_dim=1, lstm_hidden_size=lstm_h, lstm_layers=2,
+                      use_mcb=True)
+        example = (jnp.zeros((1, 4, 513)), jnp.zeros((1, 4, 67, 67)))
+        batch_kw = {"audio": audio, "video": video}
     tx = make_optimizer(
         1e-4,
         freeze_filter=trainable_except_video_trunk if freeze else None)
-    example = (jnp.zeros((1, 4, 513)), jnp.zeros((1, 4, 67, 67)))
     state = create_train_state(model, jax.random.PRNGKey(0), example, tx)
 
-    rng = np.random.default_rng(0)
     batch = Batch(
-        audio=jnp.asarray(rng.normal(size=(b, t, 513)), jnp.float32),
-        video=jnp.asarray(rng.normal(size=(b, t, 67, 67)), jnp.float32),
         label=jnp.asarray(rng.integers(0, 2, size=(b, t, 1)), jnp.float32),
         lengths=jnp.full((b,), t, jnp.int32),
         mask=jnp.ones((b, t), jnp.float32),
+        **batch_kw,
     )
-    step = make_train_step("av")
+    step = make_train_step(modality)
 
     state, metrics = step(state, batch, None)  # compile + warm
     jax.block_until_ready(metrics["loss"])
@@ -163,18 +172,131 @@ def train_main():
     step_time = min(rep_times)
 
     rt_factor = (b * t / frame_rate) / step_time
-    shape_key = f"b{b}_t{t}_frozen{int(freeze)}"
-    extra = _gate_and_record("train", shape_key, "av_train_step",
+    shape_key = f"{modality}_b{b}_t{t}_frozen{int(freeze)}"
+    extra = _gate_and_record("train", shape_key, f"{modality}_train_step",
                              step_time, rep_times)
-    print(json.dumps({
-        "metric": "av_vad_train_rt_factor",
+    return {
+        "metric": f"{modality}_vad_train_rt_factor",
         "value": round(rt_factor, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rt_factor / 50.0, 3),
-        "config": f"av_train b={b} t={t} frozen_trunk={int(freeze)} "
+        "config": f"{modality}_train b={b} t={t} "
+                  f"frozen_trunk={int(freeze)} "
                   f"ms_per_step={step_time * 1e3:.1f}",
         **extra,
-    }))
+    }
+
+
+def _train_bench_env():
+    return (int(os.environ.get("AVVAD_BENCH_TRAIN_B", "16")),
+            int(os.environ.get("AVVAD_BENCH_TRAIN_T", "512")),
+            int(os.environ.get("AVVAD_BENCH_ITERS", "10")),
+            int(os.environ.get("AVVAD_BENCH_REPS", "3")),
+            # AVVAD_BENCH_TRAIN_H: off-TPU smoke only; measured config 1024
+            int(os.environ.get("AVVAD_BENCH_TRAIN_H", "1024")))
+
+
+def train_main():
+    """BASELINE.json config 5: end-to-end train step throughput.
+
+    AVVAD_BENCH_TRAIN_MODALITY selects av (default) / audio / video;
+    AVVAD_BENCH_TRAIN_FREEZE=0 measures the unfrozen (full ResNet
+    backward) AV step. Prints ONE json line."""
+    b, t, iters, reps, lstm_h = _train_bench_env()
+    modality = os.environ.get("AVVAD_BENCH_TRAIN_MODALITY", "av")
+    freeze = (os.environ.get("AVVAD_BENCH_TRAIN_FREEZE", "1") == "1"
+              and modality == "av")
+    print(json.dumps(_train_bench_one(modality, freeze, b, t, iters, reps,
+                                      lstm_h)))
+
+
+def train_matrix_main():
+    """The 4-config train-bench matrix (VERDICT r4 next-#5): frozen AV,
+    unfrozen AV, audio-only, video-only — each gated against
+    BENCH_HISTORY. Prints ONE json line holding all four records."""
+    b, t, iters, reps, lstm_h = _train_bench_env()
+    records = []
+    for modality, freeze in (("av", True), ("av", False),
+                             ("audio", False), ("video", False)):
+        rec = _train_bench_one(modality, freeze, b, t, iters, reps, lstm_h)
+        print(f"train matrix: {rec['config']} -> {rec['value']}x rt",
+              file=sys.stderr)
+        records.append(rec)
+    print(json.dumps({"metric": "train_matrix", "configs": records}))
+
+
+def kernel_tripwire_main():
+    """Mosaic re-measure tripwire (VERDICT r4 next-#8): re-time the parked
+    Pallas kernels against their XLA equivalents on the live toolchain.
+
+    ops/conv_pallas.py (fused int8 BasicBlock stages) and
+    ops/stem_pallas.py (fused stem epilogue) are exactness-tested but
+    measured-NEGATIVE under the current Mosaic (BENCH_NOTES.md: relayouts
+    on small spatial dims dominate). This one command re-ranks them so a
+    toolchain upgrade that flips the sign is noticed instead of
+    rediscovered. Prints ONE json line; any "pallas_faster": true entry
+    is the tripwire firing — wire the kernel into the serving config and
+    re-run the headline bench."""
+    from avvad_tpu.models.resnet import ResNet18
+    from avvad_tpu.ops.stem_pallas import (stem_epilogue_pool_quant,
+                                           stem_epilogue_reference)
+
+    n = int(os.environ.get("AVVAD_TRIPWIRE_N", "512"))
+    reps = int(os.environ.get("AVVAD_BENCH_REPS", "3"))
+    iters = int(os.environ.get("AVVAD_BENCH_ITERS", "10"))
+    rng = np.random.default_rng(0)
+
+    def time_fn(fn, *args):
+        out = fn(*args)  # compile + warm
+        jax.block_until_ready(out)
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = fn(*args)
+            jax.block_until_ready(out)
+            best = min(best, (time.perf_counter() - t0) / iters)
+        return best
+
+    results = []
+
+    # 1. full int8 trunk: fused Pallas stages vs XLA convs + epilogues,
+    #    identical calibrated variables (the serving tower path)
+    x = jnp.asarray(rng.normal(size=(n, 67, 67, 1)), jnp.float32)
+    cal = ResNet18(gray_input=True, quant_int8=True, quant_mode="calibrate")
+    variables = cal.init(jax.random.PRNGKey(0), x[:8])
+    _, updated = cal.apply(variables, x[:8], mutable=["quant"])
+    variables = {**variables, "quant": updated["quant"]}
+    xla_t = ResNet18(gray_input=True, quant_int8=True, quant_mode="static")
+    pal_t = ResNet18(gray_input=True, quant_int8=True, quant_mode="static",
+                     stages_pallas=True)
+    t_xla = time_fn(jax.jit(xla_t.apply), variables, x)
+    t_pal = time_fn(jax.jit(pal_t.apply), variables, x)
+    results.append({"kernel": f"conv_pallas.trunk_stages(N={n})",
+                    "pallas_ms": round(t_pal * 1e3, 2),
+                    "xla_ms": round(t_xla * 1e3, 2),
+                    "ratio_pallas_over_xla": round(t_pal / t_xla, 3),
+                    "pallas_faster": bool(t_pal < t_xla)})
+
+    # 2. stem epilogue (BN-affine + relu + 3x3s2 maxpool + requant)
+    xs = jnp.asarray(rng.normal(size=(n, 34, 34, 64)), jnp.float32)
+    a = jnp.asarray(rng.uniform(0.5, 1.5, 64), jnp.float32)
+    b = jnp.asarray(rng.normal(size=64), jnp.float32)
+    t_xla = time_fn(jax.jit(stem_epilogue_reference), xs, a, b)
+    t_pal = time_fn(jax.jit(stem_epilogue_pool_quant), xs, a, b)
+    results.append({"kernel": f"stem_pallas.epilogue(N={n})",
+                    "pallas_ms": round(t_pal * 1e3, 2),
+                    "xla_ms": round(t_xla * 1e3, 2),
+                    "ratio_pallas_over_xla": round(t_pal / t_xla, 3),
+                    "pallas_faster": bool(t_pal < t_xla)})
+
+    fired = [r["kernel"] for r in results if r["pallas_faster"]]
+    if fired:
+        print("TRIPWIRE: Mosaic now favors " + ", ".join(fired)
+              + " — wire it into the serving config and re-run bench.py",
+              file=sys.stderr)
+    print(json.dumps({"metric": "kernel_tripwire", "results": results,
+                      "tripwire_fired": bool(fired)}))
 
 
 def main():
@@ -474,8 +596,13 @@ def main():
 
 
 if __name__ == "__main__":
-    if "--train" in sys.argv[1:] or \
+    if "--train-matrix" in sys.argv[1:] or \
+            os.environ.get("AVVAD_BENCH_MODE") == "train_matrix":
+        train_matrix_main()
+    elif "--train" in sys.argv[1:] or \
             os.environ.get("AVVAD_BENCH_MODE") == "train":
         train_main()
+    elif "--kernel-tripwire" in sys.argv[1:]:
+        kernel_tripwire_main()
     else:
         main()
