@@ -611,3 +611,133 @@ def test_pipelined_server_round_trip_matches_single_stream():
         server.stop()
         t.join(timeout=10)
         server.close()
+
+
+@pytest.mark.slow
+def test_pipelined_server_soak_under_connection_churn():
+    """Long-run churn soak (VERDICT r4 next-#7): thousands of pipelined
+    server polls while clients connect, stream in random-size chunks,
+    half-close to drain, or disconnect abruptly mid-stream — with slots
+    recycling continuously. EVERY byte any client receives must equal
+    the prefix of ITS OWN signal's offline classification: this pins the
+    round-4 buffer-aliasing bug class (hub assemble reuse, pending-tick
+    slot recycling) under realistic lifecycle churn, not just the
+    single-scenario regressions."""
+    import time
+
+    model, variables = _model_and_vars(h=8, layers=1)
+    bf = 4
+    n_streams = 4
+    ms = MultiStreamVAD(model, variables, n_streams=n_streams,
+                        block_frames=bf)
+    server = VADServer(ms, pipelined=True)
+    t = threading.Thread(target=server.serve_forever,
+                         kwargs={"timeout": 0.001}, daemon=True)
+    t.start()
+
+    n_sessions = 48
+    cfg = ms.cfg
+    sig_rng = np.random.default_rng(42)
+    signals, expected = [], []
+    solo = MultiStreamVAD(model, variables, n_streams=1, block_frames=bf)
+    for i in range(n_sessions):
+        n = int(sig_rng.integers(6000, 20000))
+        s = np.clip(sig_rng.normal(size=n) * 0.2, -1, 1).astype(np.float32)
+        s[0] = 1.0  # causal peak pinned from the first sample
+        signals.append(s)
+        # offline oracle: the same signal through a solo streamer
+        solo.reset()
+        solo.feed(0, s)
+        chunks = []
+        while True:
+            out = solo.tick()
+            if not out:
+                break
+            chunks.append(np.asarray(out[0]))
+        expected.append(np.concatenate(chunks) if chunks else np.zeros(0))
+
+    failures = []
+
+    def run_session(i):
+        rng = np.random.default_rng(1000 + i)
+        sig, want = signals[i], expected[i]
+        drain = rng.uniform() < 0.6  # else: abrupt mid-stream disconnect
+        data = sig.tobytes()
+        for _attempt in range(80):
+            got = b""
+            refused = False
+            try:
+                c = socket.create_connection(server.address, timeout=10.0)
+            except OSError:
+                time.sleep(0.02)
+                continue
+            try:
+                cut = (len(data) if drain
+                       else 4 * int(rng.integers(len(sig) // 3,
+                                                 2 * len(sig) // 3)))
+                pos = 0
+                while pos < cut:
+                    k = 4 * int(rng.integers(300, 3000))
+                    c.sendall(data[pos:pos + k])
+                    pos += k
+                    try:
+                        c.settimeout(0.0)
+                        part = c.recv(1 << 20)
+                        if part:
+                            got += part
+                        elif pos >= cut:
+                            pass
+                    except (BlockingIOError, socket.timeout):
+                        pass
+                    finally:
+                        c.settimeout(10.0)
+                if drain:
+                    c.shutdown(socket.SHUT_WR)
+                    while True:
+                        part = c.recv(1 << 20)
+                        if not part:
+                            break
+                        got += part
+            except (ConnectionError, BrokenPipeError, OSError):
+                refused = True  # slot-refused (or raced a recycle): retry
+            finally:
+                c.close()
+            if drain and not got and not refused:
+                refused = True  # accepted-then-closed refusal: no slot
+            if refused and not got:
+                time.sleep(0.02)
+                continue
+            break
+        probs = np.frombuffer(got, dtype="<f4")
+        n_frames = 1 + (len(sig) - cfg.nfft) // cfg.hopsamp
+        n_full = (n_frames // bf) * bf
+        if drain and len(probs) != n_full:
+            failures.append((i, "drain length", len(probs), n_full))
+            return
+        if len(probs) > len(want):
+            failures.append((i, "overdelivery", len(probs), len(want)))
+            return
+        if not np.allclose(probs, want[:len(probs)], atol=1e-5):
+            failures.append((i, "cross-delivery/mismatch", len(probs)))
+
+    try:
+        pending = list(range(n_sessions))
+        while pending:
+            wave = [threading.Thread(target=run_session, args=(i,))
+                    for i in pending[:6]]
+            pending = pending[6:]
+            for th in wave:
+                th.start()
+            for th in wave:
+                th.join(timeout=120)
+        assert not failures, failures[:5]
+        # the server survived the churn: one clean session end-to-end
+        sig, want = signals[0], expected[0]
+        n_frames = 1 + (len(sig) - cfg.nfft) // cfg.hopsamp
+        n_full = (n_frames // bf) * bf
+        got = stream_client(server.address, sig, n_full)
+        np.testing.assert_allclose(got, want[:n_full], atol=1e-5)
+    finally:
+        server.stop()
+        t.join(timeout=10)
+        server.close()
