@@ -130,6 +130,12 @@ def main():
     ap.add_argument("--t", type=int, default=512)
     ap.add_argument("--h", type=int, default=1024)
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--modes", default="full,matmul_only,gates_only,h_bf16",
+                    help="comma list of probe-kernel variants; 'full' "
+                    "carries the mixed fp32xbf16 dot that the current "
+                    "Mosaic lowers catastrophically (BENCH_NOTES round 5) "
+                    "— exclude it, or run it alone with --iters 2, to "
+                    "bound the probe's wall time")
     args = ap.parse_args()
 
     from avvad_tpu.utils import enable_compilation_cache
@@ -145,7 +151,8 @@ def main():
     flops = t * b * h * 4 * h * 2
     print(f"B={b} T={t} H={h}; recurrent matmul = {flops/1e9:.1f} GFLOP/layer")
     base = None
-    for mode in ("full", "matmul_only", "gates_only", "h_bf16"):
+    modes = [m for m in args.modes.split(",") if m]
+    for mode in modes:
         fn = _variant_kernel(mode)
         ms = _timeit(fn, (xp, w, h0, c0), args.iters)
         eff = flops / (ms * 1e-3) / 1e12
@@ -153,7 +160,7 @@ def main():
         print(f"{mode:12s} {ms:7.2f} ms{note}")
         if mode == "full":
             base = fn(xp, w, h0, c0)
-        if mode == "h_bf16":
+        if mode == "h_bf16" and base is not None:
             d = float(jnp.abs(fn(xp, w, h0, c0) - base).max())
             print(f"             h_bf16 max|dh| vs full: {d:.3e}")
 
