@@ -55,6 +55,45 @@ _HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_HISTORY.json")
 
 
+def _require_live_backend() -> None:
+    """Fail fast, with a parseable JSON line, if the device never answers.
+
+    The tunneled backend has been observed to wedge entirely (an 8x128
+    matmul hangs forever while jax.devices() still lists the chip —
+    BENCH_NOTES.md round-5 endgame note). A bench invocation against a
+    wedged backend would otherwise hang until the caller's timeout with
+    nothing on stdout; instead probe a trivial op in a daemon thread and,
+    if it hasn't answered after AVVAD_BENCH_LIVENESS_S (default 600 s —
+    generous: a live-but-slow tunnel answers a tiny op in seconds), emit
+    an explicit error record and exit. min_compile_time 1 s keeps the
+    probe out of the persistent cache."""
+    import threading
+
+    timeout_s = float(os.environ.get("AVVAD_BENCH_LIVENESS_S", "600"))
+    done = threading.Event()
+
+    def _probe():
+        x = jnp.ones((8, 128))
+        float((x @ x.T).sum())
+        done.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    if not done.wait(timeout_s):
+        print(f"bench: backend unresponsive after {timeout_s:.0f}s "
+              "liveness probe — see BENCH_NOTES.md (tunnel outage); "
+              "numbers in BENCH_TRAIN_r05.json/BENCH_HISTORY.json were "
+              "measured before the outage", file=sys.stderr)
+        print(json.dumps({
+            "metric": "av_vad_inference_rt_factor", "value": 0.0,
+            "unit": "x_realtime_per_chip", "vs_baseline": 0.0,
+            "error": f"tpu backend unresponsive after {timeout_s:.0f}s "
+                     "liveness probe (tunnel outage; see BENCH_NOTES.md "
+                     "round-5 endgame note — last live headline: "
+                     "11,417x, BENCH_HISTORY.json)",
+        }))
+        os._exit(0)
+
+
 def _load_history() -> dict:
     try:
         with open(_HISTORY_PATH) as f:
@@ -596,6 +635,7 @@ def main():
 
 
 if __name__ == "__main__":
+    _require_live_backend()
     if "--train-matrix" in sys.argv[1:] or \
             os.environ.get("AVVAD_BENCH_MODE") == "train_matrix":
         train_matrix_main()
