@@ -18,5 +18,6 @@ from .stats import (
     si_sdr_components,
 )
 from .predict import (calibrate_quant_scales, evaluate_split,
-                      prediction_paths, write_predictions)
+                      planned_bucket_shapes, prediction_paths,
+                      prewarm_predict, write_predictions)
 from .classify import compute_metrics_utt, score_split, score_video_split

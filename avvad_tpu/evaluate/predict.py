@@ -15,11 +15,13 @@ from __future__ import annotations
 
 import os
 import time
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 import numpy as np
 
 from ..data import DataLoader
+from ..data.batching import Batch, bucket_length
 from ..train.steps import make_predict_step
 
 
@@ -81,6 +83,75 @@ def calibrate_quant_scales(state, model, source, modality: str,
     return state.replace(quant=jax.device_get(variables["quant"]))
 
 
+def planned_bucket_shapes(loader) -> list[int]:
+    """Distinct padded time lengths `loader`'s batch plan will produce.
+
+    Uses header-only length probes (no feature loads): the padded length of
+    each planned batch is the bucketed max of its members' lengths."""
+    shapes = set()
+    for b in loader.batch_plan():
+        t = max(loader._probe_length(int(i)) for i in b)
+        shapes.add(bucket_length(t, loader.bucket, loader.bucket_ladder))
+    return sorted(shapes)
+
+
+def _dummy_batch(probe_item: dict, batch_size: int, t_pad: int) -> Batch:
+    """A zeros Batch with the exact pytree structure / dtypes pad_batch
+    would produce for this source at (batch_size, t_pad) — the AOT
+    compile stand-in. Feature trailing dims come from one real item."""
+
+    def zeros_like_field(key):
+        if key not in probe_item:
+            return None
+        trailing = np.asarray(probe_item[key]).shape[1:]
+        return np.zeros((batch_size, t_pad) + trailing, dtype=np.float32)
+
+    lengths = np.full((batch_size,), t_pad, dtype=np.int32)
+    return Batch(
+        audio=zeros_like_field("audio"),
+        video=zeros_like_field("video"),
+        label=zeros_like_field("label"),
+        lengths=lengths,
+        mask=np.ones((batch_size, t_pad), dtype=np.float32),
+        indices=np.zeros((batch_size,), dtype=np.int32),
+    )
+
+
+def prewarm_predict(predict, state, loader, norm_stats,
+                    max_workers: int = 4) -> dict:
+    """AOT-compile every (B, T_pad) program the eval loop will need,
+    concurrently; -> {(B, T): compiled executable}.
+
+    A cold complete-corpus evaluation is compile-bound: the ladder caps the
+    shape count at O(log T_max), but lazy jit still compiles those shapes
+    one at a time as batches arrive. XLA compilation releases the GIL, so
+    lowering each shape up front and compiling them on a thread pool
+    overlaps the compiles (and all of them with host data loading). The
+    compiled executables are exact-aval matches for the loop's batches
+    (pad_batch_to_full fixes B; the ladder fixes T), so the hot loop calls
+    them directly and never touches the jit tracing path.
+
+    Waveform sources are skipped (the waveform axis is not bucketed, so
+    shapes are not predictable from length probes): returns {} and the
+    caller falls back to lazy jit.
+    """
+    probe_item = loader.source[0]
+    if "waveform" in probe_item:
+        return {}
+    shapes = planned_bucket_shapes(loader)
+    bs = loader.batch_size
+    lowered = {
+        t: predict.lower(state, _dummy_batch(probe_item, bs, t), norm_stats)
+        for t in shapes
+    }
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        compiled = dict(zip(
+            lowered.keys(),
+            ex.map(lambda low: low.compile(), lowered.values()),
+        ))
+    return {(bs, t): fn for t, fn in compiled.items()}
+
+
 def evaluate_split(
     state,
     source,
@@ -90,6 +161,7 @@ def evaluate_split(
     batch_size: int = 8,
     bucket: int = 128,
     bucket_ladder: bool = True,
+    prewarm: bool = False,
     eps: float = 1e-8,
     verbose: bool = True,
     mesh=None,
@@ -125,6 +197,16 @@ def evaluate_split(
                         pad_batch_to_full=True, sort_pool_factor=4)
 
     t0 = time.perf_counter()
+    # pre-warm: AOT-compile all planned bucket shapes concurrently before
+    # the loop (XLA compile releases the GIL), so a cold run pays
+    # max(compile times) instead of their sum. Single-device path only —
+    # under a mesh the batches are re-sharded and the lazy jit path owns
+    # the sharding propagation.
+    compiled = {}
+    prewarm_s = 0.0
+    if prewarm and mesh is None:
+        compiled = prewarm_predict(predict, state, loader, norm_stats)
+        prewarm_s = time.perf_counter() - t0
     n_utts = 0
     n_frames = 0
 
@@ -164,7 +246,8 @@ def evaluate_split(
             batch = shard_batch(mesh, batch)
         if pending is not None:
             pending[0].copy_to_host_async()
-        y_dev = predict(state, batch, norm_stats)
+        step = compiled.get((batch.batch_size, batch.max_frames), predict)
+        y_dev = step(state, batch, norm_stats)
         prev, pending = pending, (y_dev, row_indices, lengths)
         if prev is not None:
             drain(*prev)
@@ -176,6 +259,8 @@ def evaluate_split(
         "n_utterances": n_utts,
         "n_frames": n_frames,
         "elapsed_s": elapsed,
+        "prewarm_s": prewarm_s,
+        "prewarmed_shapes": len(compiled),
         "audio_seconds": n_frames / 62.5,
         "rt_factor": (n_frames / 62.5) / elapsed if elapsed > 0 else float("inf"),
     }

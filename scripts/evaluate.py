@@ -43,6 +43,10 @@ def parse_args():
                         "instead of one per 128-frame class (identical "
                         "predictions; --no-bucket-ladder restores linear "
                         "bucketing)")
+    p.add_argument("--prewarm", action="store_true",
+                   help="AOT-compile all planned bucket shapes on a thread "
+                        "pool before the eval loop: a cold run pays "
+                        "max(compile times), not their sum (single-device)")
     p.add_argument("--lstm-hidden", type=int, default=1024)
     p.add_argument("--lstm-layers", type=int, default=2)
     p.add_argument("--mcb", action=argparse.BooleanOptionalAction, default=True)
@@ -206,7 +210,8 @@ def main():
     report = evaluate_split(state, source, args.modality,
                             args.output_dir + os.sep, norm_stats=norm_stats,
                             batch_size=args.batch_size, bucket=args.bucket,
-                            bucket_ladder=args.bucket_ladder, mesh=mesh)
+                            bucket_ladder=args.bucket_ladder,
+                            prewarm=args.prewarm, mesh=mesh)
     print(report)
 
 

@@ -94,6 +94,62 @@ def test_predict_score_roundtrip(root, tmp_path):
     assert 0.0 <= stats["overall"]["accuracy"]["avg"] <= 1.0
 
 
+def test_planned_bucket_shapes_match_iteration(root):
+    """The pre-warm shape plan (header-only length probes) is exactly the
+    set of padded lengths the loader produces."""
+    from avvad_tpu.data import DataLoader
+    from avvad_tpu.evaluate import planned_bucket_shapes
+
+    src = AudioSequenceSource(root, "test", "subset", "vad_labels", upsampled=False)
+    loader = DataLoader(src, batch_size=2, shuffle=False, bucket=64,
+                        bucket_ladder=True, pad_batch_to_full=True,
+                        sort_pool_factor=4)
+    shapes = planned_bucket_shapes(loader)
+    assert shapes  # subset test split is non-empty
+    seen = {b.max_frames for b in loader}
+    assert seen == set(shapes)
+
+
+@pytest.mark.slow
+def test_prewarm_output_parity(root, tmp_path):
+    """prewarm=True AOT-compiles exactly the planned bucket shapes and
+    writes bit-identical predictions to the lazy-jit path."""
+    from avvad_tpu.data import DataLoader
+    from avvad_tpu.evaluate import planned_bucket_shapes, prewarm_predict
+    from avvad_tpu.train.steps import make_predict_step
+
+    src = AudioSequenceSource(root, "test", "subset", "vad_labels", upsampled=False)
+    model = AudioVAD(y_dim=1, lstm_hidden_size=16, lstm_layers=1)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               (jnp.zeros((1, 32, 513)),))
+
+    loader = DataLoader(src, batch_size=2, shuffle=False, bucket=64,
+                        bucket_ladder=True, pad_batch_to_full=True,
+                        sort_pool_factor=4)
+    shapes = planned_bucket_shapes(loader)
+    predict = make_predict_step("audio")
+    compiled = prewarm_predict(predict, state, loader, None)
+    assert set(compiled) == {(2, t) for t in shapes}
+    # a compiled executable agrees with the jit path on a real batch
+    batch = next(iter(loader))
+    got = compiled[(batch.batch_size, batch.max_frames)](state, batch, None)
+    want = predict(state, batch, None)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    cold_dir = str(tmp_path / "cold") + os.sep
+    warm_dir = str(tmp_path / "warm") + os.sep
+    evaluate_split(state, src, "audio", cold_dir, batch_size=2, bucket=64,
+                   verbose=False)
+    report = evaluate_split(state, src, "audio", warm_dir, batch_size=2,
+                            bucket=64, prewarm=True, verbose=False)
+    assert report["prewarmed_shapes"] == len(shapes)
+    assert report["prewarm_s"] > 0
+    for i in range(len(src)):
+        _, soft_cold = prediction_paths(cold_dir, src.rel_path(i))
+        _, soft_warm = prediction_paths(warm_dir, src.rel_path(i))
+        np.testing.assert_array_equal(np.load(soft_cold), np.load(soft_warm))
+
+
 def test_visualization_figures(root, tmp_path):
     from avvad_tpu.processing import read_wav, stft
     from avvad_tpu.processing.audio_io import peak_normalize
