@@ -29,5 +29,6 @@ from .sources import (
 )
 from .augment import AugmentingSource, feature_stats, mix_at_snr, synth_noise
 from .batching import Batch, pad_batch, bucket_length
+from .prewarm import planned_batch_shapes, prewarm_step
 from .pipeline import DataLoader, Prefetcher
 from .statistics import load_statistics, save_statistics, welford_merge

@@ -15,13 +15,13 @@ from __future__ import annotations
 
 import os
 import time
-from concurrent.futures import ThreadPoolExecutor
 from typing import Optional
 
 import numpy as np
 
 from ..data import DataLoader
-from ..data.batching import Batch, bucket_length
+from ..data.batching import bucket_length
+from ..data.prewarm import prewarm_step
 from ..train.steps import make_predict_step
 
 
@@ -95,61 +95,16 @@ def planned_bucket_shapes(loader) -> list[int]:
     return sorted(shapes)
 
 
-def _dummy_batch(probe_item: dict, batch_size: int, t_pad: int) -> Batch:
-    """A zeros Batch with the exact pytree structure / dtypes pad_batch
-    would produce for this source at (batch_size, t_pad) — the AOT
-    compile stand-in. Feature trailing dims come from one real item."""
-
-    def zeros_like_field(key):
-        if key not in probe_item:
-            return None
-        trailing = np.asarray(probe_item[key]).shape[1:]
-        return np.zeros((batch_size, t_pad) + trailing, dtype=np.float32)
-
-    lengths = np.full((batch_size,), t_pad, dtype=np.int32)
-    return Batch(
-        audio=zeros_like_field("audio"),
-        video=zeros_like_field("video"),
-        label=zeros_like_field("label"),
-        lengths=lengths,
-        mask=np.ones((batch_size, t_pad), dtype=np.float32),
-        indices=np.zeros((batch_size,), dtype=np.int32),
-    )
-
-
 def prewarm_predict(predict, state, loader, norm_stats,
                     max_workers: int = 4) -> dict:
     """AOT-compile every (B, T_pad) program the eval loop will need,
     concurrently; -> {(B, T): compiled executable}.
 
-    A cold complete-corpus evaluation is compile-bound: the ladder caps the
-    shape count at O(log T_max), but lazy jit still compiles those shapes
-    one at a time as batches arrive. XLA compilation releases the GIL, so
-    lowering each shape up front and compiling them on a thread pool
-    overlaps the compiles (and all of them with host data loading). The
-    compiled executables are exact-aval matches for the loop's batches
-    (pad_batch_to_full fixes B; the ladder fixes T), so the hot loop calls
-    them directly and never touches the jit tracing path.
-
-    Waveform sources are skipped (the waveform axis is not bucketed, so
-    shapes are not predictable from length probes): returns {} and the
-    caller falls back to lazy jit.
-    """
-    probe_item = loader.source[0]
-    if "waveform" in probe_item:
-        return {}
-    shapes = planned_bucket_shapes(loader)
-    bs = loader.batch_size
-    lowered = {
-        t: predict.lower(state, _dummy_batch(probe_item, bs, t), norm_stats)
-        for t in shapes
-    }
-    with ThreadPoolExecutor(max_workers=max_workers) as ex:
-        compiled = dict(zip(
-            lowered.keys(),
-            ex.map(lambda low: low.compile(), lowered.values()),
-        ))
-    return {(bs, t): fn for t, fn in compiled.items()}
+    Thin wrapper over `data.prewarm.prewarm_step` (the generic machinery,
+    shared with the Trainer's first-epoch pre-warm); see BENCH_NOTES.md
+    "cold-eval pre-warm" for the measured 8.08x cold-evaluation win."""
+    return prewarm_step(predict, state, loader, norm_stats,
+                        max_workers=max_workers)
 
 
 def evaluate_split(

@@ -49,6 +49,7 @@ class Trainer:
         eps: float = 1e-8,
         log_interval: int = 1,
         prefetch: bool = True,
+        prewarm: bool = False,
         mesh=None,
     ):
         """With `mesh`, parameters are placed by the sharding rules and
@@ -70,6 +71,13 @@ class Trainer:
                 opt_state=shard_opt_state(mesh, state.opt_state))
         self.train_step = make_train_step(modality, eps)
         self.eval_step = make_eval_step(modality, eps)
+        # first-epoch pre-warm: AOT-compile each epoch's planned batch
+        # shapes concurrently instead of letting lazy jit compile them
+        # serially as batches arrive (see data.prewarm). Shapes compiled
+        # in earlier epochs are reused; unplanned shapes fall back to jit.
+        # Single-device only: under a mesh lazy jit owns sharding.
+        self.prewarm = prewarm and mesh is None
+        self._compiled = {"train": {}, "eval": {}}
         os.makedirs(model_dir, exist_ok=True)
         self.batch_log = os.path.join(model_dir, "output_batch.log")
         self.epoch_log = os.path.join(model_dir, "output_epoch.log")
@@ -94,18 +102,32 @@ class Trainer:
                     for b in loader)
         return Prefetcher(loader) if self.prefetch else iter(loader)
 
+    def _maybe_prewarm(self, loader: DataLoader, kind: str):
+        """Concurrently AOT-compile this epoch's missing batch shapes."""
+        if not self.prewarm:
+            return
+        from ..data.prewarm import prewarm_step
+
+        step = self.train_step if kind == "train" else self.eval_step
+        cache = self._compiled[kind]
+        cache.update(prewarm_step(step, self.state, loader, self.norm_stats,
+                                  skip=set(cache)))
+
     def train_epoch(self, loader: DataLoader, epoch: int) -> dict:
         # Pin the loader's epoch to the trainer's: the loader's internal
         # counter restarts at 0 on every process start, so a resumed run
         # would otherwise replay the shuffle orders and augmentation noise
         # realizations of the epochs it already trained on.
         loader.epoch = epoch
+        self._maybe_prewarm(loader, "train")
+        compiled = self._compiled["train"]
         acc = MetricAccumulator()
         n_total = len(loader.source)
         seen = 0
         for batch_idx, batch in enumerate(self._iter(loader)):
-            self.state, metrics = self.train_step(self.state, batch,
-                                                  self.norm_stats)
+            step = compiled.get((batch.batch_size, batch.max_frames),
+                                self.train_step)
+            self.state, metrics = step(self.state, batch, self.norm_stats)
             m = _to_float(metrics)
             acc.add(m)
             seen += batch.batch_size
@@ -124,9 +146,13 @@ class Trainer:
         return acc.mean()
 
     def eval_epoch(self, loader: DataLoader) -> dict:
+        self._maybe_prewarm(loader, "eval")
+        compiled = self._compiled["eval"]
         acc = MetricAccumulator()
         for batch in self._iter(loader):
-            metrics, _ = self.eval_step(self.state, batch, self.norm_stats)
+            step = compiled.get((batch.batch_size, batch.max_frames),
+                                self.eval_step)
+            metrics, _ = step(self.state, batch, self.norm_stats)
             acc.add(_to_float(metrics))
         return acc.mean()
 

@@ -67,6 +67,11 @@ def build_parser():
                         "synthesized 6-noise x 3-SNR grid (emulates the "
                         "reference's full NTCD-TIMIT noise grid; audio/av "
                         "only — see avvad_tpu.data.augment)")
+    p.add_argument("--prewarm", action="store_true",
+                   help="AOT-compile each epoch's planned batch shapes "
+                        "concurrently before stepping (cold first epoch "
+                        "pays max(compile times), not their sum; "
+                        "single-device)")
     p.add_argument("--trace-dir", default=None,
                    help="capture a jax.profiler device trace of the first "
                         "training epoch into this directory")
@@ -246,7 +251,7 @@ def main():
         print(f"data-parallel mesh over {mesh.devices.size} devices")
 
     trainer = Trainer(state, args.modality, args.model_dir,
-                      norm_stats=norm_stats, mesh=mesh)
+                      norm_stats=norm_stats, prewarm=args.prewarm, mesh=mesh)
     if args.trace_dir:
         from avvad_tpu.utils import trace
 

@@ -167,6 +167,37 @@ def test_dropout_option_trains_and_randomizes():
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
+def test_trainer_prewarm_matches_lazy_path(root, tmp_path):
+    """Trainer(prewarm=True) dispatches epoch steps through AOT-compiled
+    executables and reproduces the lazy-jit loss trajectory exactly."""
+    from avvad_tpu.train import Trainer
+
+    def run(prewarm):
+        src = AudioSequenceSource(root, "train", "subset", "vad_labels",
+                                  upsampled=False)
+        loader = DataLoader(src, batch_size=2, shuffle=False, bucket=64)
+        model = AudioVAD(y_dim=1, lstm_hidden_size=16, lstm_layers=1)
+        tx = make_optimizer(learning_rate=1e-3)
+        state = create_train_state(
+            model, jax.random.PRNGKey(0), (jnp.zeros((1, 32, 513)),), tx)
+        trainer = Trainer(state, "audio", str(tmp_path / str(prewarm)),
+                          prefetch=False, prewarm=prewarm)
+        m1 = trainer.train_epoch(loader, epoch=1)
+        m2 = trainer.train_epoch(loader, epoch=2)
+        mv = trainer.eval_epoch(loader)
+        return trainer, m1, m2, mv
+
+    lazy_tr, *lazy = run(False)
+    warm_tr, *warm = run(True)
+    assert lazy_tr._compiled == {"train": {}, "eval": {}}
+    # 9 train utts / B=2 -> a full-B and a partial-B shape per length class
+    assert len(warm_tr._compiled["train"]) >= 2
+    assert len(warm_tr._compiled["eval"]) >= 2
+    for ml, mw in zip(lazy, warm):
+        assert ml == mw, (ml, mw)
+
+
 def test_train_epoch_pins_loader_epoch_for_resume(tmp_path):
     """A resumed run re-creates the DataLoader with its internal epoch
     counter at 0; train_epoch must pin it to the trainer's epoch or the
